@@ -1,0 +1,172 @@
+"""Stochastic SOR / Gibbs sampler on stencil operators.
+
+Rebuild of the reference's ``mcgibbs``/``sorgibbs`` preconditioner-samplers
+(``/root/reference/src/pc_mcgibbs.c``, ``src/pc_sorgibbs.c``): one Gibbs
+sweep targeting N(A^{-1}b, A^{-1}) is one SOR sweep applied to the
+stochastic right-hand side
+
+    b~ = b + sqrt((2-omega)/omega) * D^{1/2} eta,      eta ~ N(0, I)
+
+(pc_mcgibbs.c:119-128, 142-153).  For low-rank-corrected operators
+A_post = A + B Sigma^{-1} B^T the sweep runs on the *base* A with extra
+RHS noise ``+ B sqrt(Sigma^{-1}) eta2`` (pc_mcgibbs.c:130-140) followed by
+the Woodbury post-correction ``y <- y - Bb (B^T y)`` with
+``Bb = M^{-1} B (Sigma + B^T M^{-1} B)^{-1}`` built from the sweep's own
+deterministic iteration operator M (mc_sor.c:456-544, applied at
+mc_sor.c:101-112).
+
+Samplers are frozen pytrees.  ``step_with_noise(x, b, noises)`` is the
+deterministic affine transition given explicit standard-normal draws —
+this is what the exact distribution-invariance tests probe.  ``step``
+threads a JAX PRNG key (the per-device threefry analogue of the
+reference's seed^rank MKL streams, parmgmc.c:80-97).
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+from parmgmc_tpu._pytree import pytree_dataclass
+from parmgmc_tpu.operators.lrc import LRCOperator
+from parmgmc_tpu.operators.stencil import StencilOperator
+from parmgmc_tpu.samplers.sor import color_masks, num_colors, sor_sweep
+
+__all__ = ["GibbsSampler", "build_lrc_correction"]
+
+
+def build_lrc_correction(
+    base: StencilOperator, B: jax.Array, sigma_inv: jax.Array, omega: float, sweep: str
+) -> jax.Array:
+    """Bb = M^{-1} B (Sigma + B^T M^{-1} B)^{-1} for the given sweep direction.
+
+    M^{-1} columns are computed by running the deterministic sweep from a
+    zero initial guess on each column of B — batched with vmap instead of
+    the reference's column-by-column loop (mc_sor.c:493-511).
+    """
+    gshape = base.grid_shape
+    d = len(gshape)
+    k = B.shape[-1]
+
+    def det_sor(col):  # one deterministic sweep from zero: M^{-1} col
+        return sor_sweep(base, col, jnp.zeros_like(col), omega, sweep)
+
+    cols = jnp.moveaxis(B, -1, 0)  # (k, *grid)
+    C = jax.vmap(det_sor)(cols)  # (k, *grid) = columns of M^{-1} B
+    axes = tuple(range(1, d + 1))
+    BtC = jnp.tensordot(jnp.moveaxis(B, -1, 0), C, axes=(axes, axes))  # (k, k)
+    small = jnp.diag(1.0 / sigma_inv) + BtC  # Sigma + B^T M^{-1} B
+    Sb = jnp.linalg.solve(small, jnp.eye(k, dtype=B.dtype))
+    Bb = jnp.tensordot(C, Sb, axes=((0,), (0,)))  # (*grid, k)
+    return Bb
+
+
+@pytree_dataclass(meta=("sweep",))
+class GibbsSampler:
+    """Multicolor SOR-Gibbs sampler for N(A^{-1}b, A^{-1}).
+
+    Operates on ``StencilOperator`` or ``LRCOperator``.  The LRC fields
+    (B, sigma_inv, Bb_fw, Bb_bw) are None for plain stencil operators.
+    """
+
+    base: StencilOperator
+    omega: jax.Array  # scalar
+    sweep: str  # forward | backward | symmetric
+    noise_scale: jax.Array  # sqrt((2-omega)/omega) * sqrt(diag A)
+    B: Union[jax.Array, None]
+    sqrt_sigma_inv: Union[jax.Array, None]
+    Bb_fw: Union[jax.Array, None]
+    Bb_bw: Union[jax.Array, None]
+
+    # -- construction ------------------------------------------------------
+    @staticmethod
+    def create(op, omega: float = 1.0, sweep: str = "forward") -> "GibbsSampler":
+        assert sweep in ("forward", "backward", "symmetric")
+        if isinstance(op, LRCOperator):
+            base = op.base
+            B, sigma_inv = op.B, op.sigma_inv
+            Bb_fw = build_lrc_correction(base, B, sigma_inv, omega, "forward")
+            Bb_bw = build_lrc_correction(base, B, sigma_inv, omega, "backward")
+            sqrt_sigma_inv = jnp.sqrt(sigma_inv)
+        else:
+            base = op
+            B = sqrt_sigma_inv = Bb_fw = Bb_bw = None
+        om = jnp.asarray(omega, dtype=base.dtype)
+        noise_scale = jnp.sqrt((2.0 - om) / om) * jnp.sqrt(base.diag)
+        return GibbsSampler(
+            base=base,
+            omega=om,
+            sweep=sweep,
+            noise_scale=noise_scale,
+            B=B,
+            sqrt_sigma_inv=sqrt_sigma_inv,
+            Bb_fw=Bb_fw,
+            Bb_bw=Bb_bw,
+        )
+
+    @property
+    def grid_shape(self):
+        return self.base.grid_shape
+
+    @property
+    def is_lrc(self) -> bool:
+        return self.B is not None
+
+    # -- the (sampled) operator this chain targets --------------------------
+    def operator(self):
+        if self.is_lrc:
+            return LRCOperator(
+                base=self.base, B=self.B, sigma_inv=self.sqrt_sigma_inv**2
+            )
+        return self.base
+
+    # -- noise bookkeeping ---------------------------------------------------
+    def noise_shapes(self):
+        """Pytree of standard-normal shapes consumed by one step."""
+        halves = 2 if self.sweep == "symmetric" else 1
+        per_half = {"eta": self.grid_shape}
+        if self.is_lrc:
+            per_half["eta_lr"] = (self.B.shape[-1],)
+        return [dict(per_half) for _ in range(halves)]
+
+    # -- transitions ---------------------------------------------------------
+    def _half_step(self, x, b, noise, direction):
+        btilde = b + self.noise_scale * noise["eta"]
+        if self.is_lrc:
+            w = self.sqrt_sigma_inv * noise["eta_lr"]
+            ndim = self.base.ndim
+            btilde = btilde + jnp.tensordot(self.B, w, axes=((ndim,), (0,)))
+        x = sor_sweep(self.base, btilde, x, self.omega, direction)
+        if self.is_lrc:
+            Bb = self.Bb_fw if direction == "forward" else self.Bb_bw
+            ndim = self.base.ndim
+            axes = tuple(range(ndim))
+            bty = jnp.tensordot(self.B, x, axes=(axes, axes))
+            x = x - jnp.tensordot(Bb, bty, axes=((ndim,), (0,)))
+        return x
+
+    def step_with_noise(self, x, b, noises):
+        """One Gibbs iteration with explicit N(0,1) draws (deterministic)."""
+        if self.sweep == "symmetric":
+            x = self._half_step(x, b, noises[0], "forward")
+            x = self._half_step(x, b, noises[1], "backward")
+        else:
+            x = self._half_step(x, b, noises[0], self.sweep)
+        return x
+
+    def prepare(self, b):
+        return None
+
+    def step(self, key, x, b, aux=None):
+        key, sub = jax.random.split(key)
+        noises = _draw(sub, self.noise_shapes(), x.dtype)
+        return key, self.step_with_noise(x, b, noises)
+
+
+def _draw(key, shapes, dtype):
+    leaves, treedef = jax.tree_util.tree_flatten(shapes, is_leaf=lambda s: isinstance(s, tuple))
+    keys = jax.random.split(key, len(leaves))
+    draws = [jax.random.normal(k, s, dtype=dtype) for k, s in zip(keys, leaves)]
+    return jax.tree_util.tree_unflatten(treedef, draws)

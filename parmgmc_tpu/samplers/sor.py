@@ -1,0 +1,84 @@
+"""Multicolor SOR / Gauss-Seidel sweeps on stencil operators.
+
+TPU-native rebuild of the reference's multicolour sweep kernel
+(``/root/reference/src/mc_sor.c:241-381``).  Instead of a CSR row loop
+over JP-colored index sets with per-color MPI ghost scatters, we exploit
+the structured grid: a parity coloring is a valid distance-1 coloring for
+any 3^d stencil —
+
+* star stencils (5/7-point): 2 colors by total-coordinate parity
+  (red/black),
+* dense 3^d stencils (Galerkin-coarsened): 2^d colors by per-coordinate
+  parity.
+
+Each color update is one masked, fully-vectorised stencil pass (VPU work);
+colors are applied sequentially, which preserves the Gauss-Seidel
+dependency structure exactly as the reference's color loop does.  The
+deterministic forward sweep from ``x`` computes
+``x' = x + M^{-1}(b - A x)`` with ``M = D/omega + L`` where ``L`` is the
+strictly-lower part of A in the color ordering — the same family of
+iteration operators as the reference (a different color order than JP,
+which changes only the iteration operator, not the targeted
+distribution).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from parmgmc_tpu.operators.stencil import StencilOperator
+
+__all__ = ["color_masks", "num_colors", "sor_sweep"]
+
+
+def num_colors(op: StencilOperator) -> int:
+    return 2 if op.is_star() else 2 ** op.ndim
+
+
+def color_masks(grid_shape, ncolors: int):
+    """Static boolean masks, one per color, tiling the grid.
+
+    ncolors == 2: color = (i0 + i1 + ...) % 2 (red/black).
+    ncolors == 2^d: color index = binary code of per-coordinate parities.
+    """
+    d = len(grid_shape)
+    idx = np.indices(grid_shape)
+    if ncolors == 2:
+        code = idx.sum(axis=0) % 2
+    elif ncolors == 2**d:
+        code = np.zeros(grid_shape, dtype=np.int64)
+        for axis in range(d):
+            code = 2 * code + (idx[axis] % 2)
+    else:
+        raise ValueError(f"unsupported ncolors={ncolors} for d={d}")
+    return tuple(jnp.asarray(code == c) for c in range(ncolors))
+
+
+def sor_sweep(
+    op: StencilOperator,
+    b,
+    x,
+    omega: float = 1.0,
+    sweep: str = "forward",
+    masks=None,
+):
+    """One multicolor SOR sweep; ``sweep`` in {forward, backward, symmetric}.
+
+    Matches the per-row update of mc_sor.c:260-267:
+    ``x_r <- (1-omega) x_r + (omega/d_r) (b_r - sum_{j != r} a_rj x_j)``
+    applied color by color (backward = reverse color order; symmetric =
+    forward then backward, cf. MCSORApply at mc_sor.c:223-232).
+    """
+    if masks is None:
+        masks = color_masks(op.grid_shape, num_colors(op))
+    if sweep == "symmetric":
+        x = sor_sweep(op, b, x, omega, "forward", masks)
+        return sor_sweep(op, b, x, omega, "backward", masks)
+    order = range(len(masks)) if sweep == "forward" else reversed(range(len(masks)))
+    inv_diag = omega / op.diag
+    for c in order:
+        r = b - op.offdiag_apply(x)
+        xc = (1.0 - omega) * x + inv_diag * r
+        x = jnp.where(masks[c], xc, x)
+    return x
