@@ -1,0 +1,137 @@
+"""Machine-precision distribution-invariance tests for every sampler.
+
+Each sampler's one-step transition x' = G x + K eta + h must satisfy the
+Gaussian fixed-point identities (see parmgmc_tpu.testing).  These replace
+"runs 10^6 samples and checks the mean" with exact algebra on small
+grids; statistical end-to-end tests live in the other test files.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parmgmc_tpu.operators.lrc import LRCOperator
+from parmgmc_tpu.operators.stencil import galerkin_coarse_operator, shifted_laplace_fd
+from parmgmc_tpu.samplers.cholesky import CholeskySampler
+from parmgmc_tpu.samplers.gibbs import GibbsSampler
+from parmgmc_tpu.samplers.mgmc import MGMCSampler
+from parmgmc_tpu.testing import invariance_error
+
+GRID = (5, 5)
+TOL = 1e-10
+
+
+def make_op(dtype=jnp.float64):
+    return shifted_laplace_fd(GRID, 1.5, dtype=dtype)
+
+
+def make_lrc(dtype=jnp.float64, k=3):
+    base = make_op(dtype)
+    key = jax.random.PRNGKey(42)
+    B = jax.random.normal(key, (*GRID, k), dtype=dtype)
+    sigma_inv = jnp.asarray([2.0, 0.5, 1.3], dtype=dtype)
+    return LRCOperator(base=base, B=B, sigma_inv=sigma_inv)
+
+
+def rhs(dtype=jnp.float64):
+    return jnp.sin(jnp.arange(25, dtype=dtype)).reshape(GRID)
+
+
+@pytest.mark.parametrize("sweep", ["forward", "backward", "symmetric"])
+@pytest.mark.parametrize("omega", [1.0, 1.4])
+def test_gibbs_invariance(sweep, omega):
+    op = make_op()
+    smp = GibbsSampler.create(op, omega=omega, sweep=sweep)
+    mean_err, cov_err = invariance_error(smp, op, rhs())
+    assert mean_err < TOL, f"mean fixed point violated: {mean_err}"
+    assert cov_err < TOL, f"cov fixed point violated: {cov_err}"
+
+
+@pytest.mark.parametrize("sweep", ["forward", "symmetric"])
+def test_gibbs_lrc_invariance(sweep):
+    """Gibbs on A + B Sigma^{-1} B^T: base sweep + extra noise + Woodbury
+    post-correction must leave the posterior Gaussian invariant."""
+    op = make_lrc()
+    smp = GibbsSampler.create(op, omega=1.0, sweep=sweep)
+    mean_err, cov_err = invariance_error(smp, op, rhs())
+    assert mean_err < TOL, f"mean fixed point violated: {mean_err}"
+    assert cov_err < TOL, f"cov fixed point violated: {cov_err}"
+
+
+def test_cholesky_invariance():
+    op = make_op()
+    smp = CholeskySampler.create(op)
+    mean_err, cov_err = invariance_error(smp, op, rhs())
+    assert mean_err < TOL and cov_err < TOL
+
+
+def test_cholesky_lrc_invariance():
+    op = make_lrc()
+    smp = CholeskySampler.create(op)
+    mean_err, cov_err = invariance_error(smp, op, rhs())
+    assert mean_err < TOL and cov_err < TOL
+
+
+def test_mgmc_invariance():
+    op = make_op()
+    smp = MGMCSampler.create(op, n_levels=2, n_pre=1, n_post=1)
+    mean_err, cov_err = invariance_error(smp, op, rhs())
+    assert mean_err < TOL, f"mean fixed point violated: {mean_err}"
+    assert cov_err < TOL, f"cov fixed point violated: {cov_err}"
+
+
+def test_mgmc_v22_invariance():
+    op = make_op()
+    smp = MGMCSampler.create(op, n_levels=2, n_pre=2, n_post=2, sweep="symmetric")
+    mean_err, cov_err = invariance_error(smp, op, rhs())
+    assert mean_err < TOL and cov_err < TOL
+
+
+def test_mgmc_lrc_invariance():
+    """LRC hierarchy: B_c = P^T B_f per level + LRC-consistent residuals."""
+    op = make_lrc()
+    smp = MGMCSampler.create(op, n_levels=2)
+    mean_err, cov_err = invariance_error(smp, op, rhs())
+    assert mean_err < TOL, f"mean fixed point violated: {mean_err}"
+    assert cov_err < TOL, f"cov fixed point violated: {cov_err}"
+
+
+def test_sweep_equivalence():
+    """Symmetric sweep == forward then backward with the same draws (ex5)."""
+    op = make_op()
+    sym = GibbsSampler.create(op, omega=1.2, sweep="symmetric")
+    fwd = GibbsSampler.create(op, omega=1.2, sweep="forward")
+    bwd = GibbsSampler.create(op, omega=1.2, sweep="backward")
+    b = rhs()
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, GRID, dtype=jnp.float64)
+    k1, k2 = jax.random.split(key)
+    n1 = {"eta": jax.random.normal(k1, GRID, dtype=jnp.float64)}
+    n2 = {"eta": jax.random.normal(k2, GRID, dtype=jnp.float64)}
+    y_sym = sym.step_with_noise(x, b, [n1, n2])
+    y_fb = bwd.step_with_noise(fwd.step_with_noise(x, b, [n1]), b, [n2])
+    np.testing.assert_allclose(np.asarray(y_sym), np.asarray(y_fb), atol=1e-14)
+
+
+def test_gibbs_iteration_operator_identity():
+    """The deterministic sweep's M satisfies M + M^T - A = (2-w)/w D, the
+    algebraic identity that makes Gibbs-as-SOR target N(A^{-1}b, A^{-1})."""
+    op = make_op()
+    omega = 1.3
+    from parmgmc_tpu.samplers.sor import sor_sweep
+
+    n = op.n
+    A = np.asarray(op.to_dense())
+
+    def det(bflat):
+        return sor_sweep(
+            op, bflat.reshape(GRID), jnp.zeros(GRID, jnp.float64), omega, "forward"
+        ).reshape(n)
+
+    Minv = np.asarray(jax.jacfwd(det)(jnp.zeros(n, jnp.float64)))
+    M = np.linalg.inv(Minv)
+    D = np.diag(np.asarray(op.diag).reshape(n))
+    lhs = M + M.T - A
+    rhs_ = (2 - omega) / omega * D
+    np.testing.assert_allclose(lhs, rhs_, atol=1e-9)
