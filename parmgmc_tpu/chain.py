@@ -35,8 +35,7 @@ class ChainState(NamedTuple):
 
 def init_chain(sampler, key: jax.Array, x0: Optional[jax.Array] = None) -> ChainState:
     if x0 is None:
-        shape = sampler.grid_shape
-        x0 = jnp.zeros(shape, dtype=sampler.base.dtype if hasattr(sampler, "base") else jnp.float32)
+        x0 = jnp.zeros(sampler.grid_shape, dtype=sampler.dtype)
     return ChainState(x=x0, key=key)
 
 

@@ -1,0 +1,61 @@
+"""Cross-chain statistics: covariance-error trajectories and Gelman-Rubin.
+
+TPU-native rebuild of ``/root/reference/src/stats.c`` (sample-covariance
+Frobenius error vs the exact covariance A^{-1}) and the Gelman-Rubin
+R-hat of ``examples/ex7.c:61-91``.  Where the reference loops over Vec
+arrays per sample index, we batch everything: samples arrive as a single
+(chains, steps, n) array and the whole trajectory is one einsum-heavy
+jitted computation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "sample_covariance",
+    "covariance_error_trajectory",
+    "gelman_rubin",
+]
+
+
+def sample_covariance(samples: jax.Array) -> jax.Array:
+    """Unbiased sample covariance over the leading axis: (m, n) -> (n, n)."""
+    m = samples.shape[0]
+    mean = jnp.mean(samples, axis=0)
+    d = samples - mean
+    return d.T @ d / (m - 1)
+
+
+def covariance_error_trajectory(samples: jax.Array, A_dense: jax.Array) -> jax.Array:
+    """Relative Frobenius error of the cross-chain sample covariance at each
+    sample index (stats.c:94-117 / ex6 semantics).
+
+    samples: (chains, steps, n) — sample j of every chain estimates one
+    covariance; errs[j] = ||Cov_hat_j - A^{-1}||_F / ||A^{-1}||_F.
+    """
+    n = A_dense.shape[0]
+    Q = jnp.linalg.solve(A_dense, jnp.eye(n, dtype=A_dense.dtype))
+    Qnorm = jnp.linalg.norm(Q)
+
+    def err_at(step_samples):  # (chains, n)
+        C = sample_covariance(step_samples)
+        return jnp.linalg.norm(C - Q) / Qnorm
+
+    return jax.vmap(err_at)(jnp.swapaxes(samples, 0, 1))
+
+
+def gelman_rubin(vals: jax.Array) -> jax.Array:
+    """R-hat of scalar chains (chains, n), per examples/ex7.c:61-91.
+
+    B = n/(chains-1) * sum (mean_i - mean)^2,
+    W = mean of within-chain variances,
+    R = ((n-1)/n W + B/n) / W.
+    """
+    chains, n = vals.shape
+    means = jnp.mean(vals, axis=1)
+    mean = jnp.mean(means)
+    B = n / (chains - 1.0) * jnp.sum((means - mean) ** 2)
+    W = jnp.mean(jnp.sum((vals - means[:, None]) ** 2, axis=1) / (n - 1.0))
+    return ((n - 1.0) / n * W + B / n) / W

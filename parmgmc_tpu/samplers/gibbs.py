@@ -111,6 +111,10 @@ class GibbsSampler:
         return self.base.grid_shape
 
     @property
+    def dtype(self):
+        return self.base.dtype
+
+    @property
     def is_lrc(self) -> bool:
         return self.B is not None
 

@@ -80,16 +80,17 @@ def build_hierarchy(op, n_levels=None, coarsest_size=128):
     return ops
 
 
-@pytree_dataclass(meta=("n_pre", "n_post", "n_levels"))
+@pytree_dataclass(meta=("n_pre", "n_post", "n_levels", "n_coarse"))
 class MGMCSampler:
     """Stochastic V(n_pre, n_post)-cycle chain sampler for N(A^{-1}b, A^{-1})."""
 
     ops: tuple  # per-level operators, fine -> coarse
     smoothers: tuple  # GibbsSampler per non-coarsest level
-    coarse: CholeskySampler
+    coarse: object  # coarsest-level sampler (Cholesky exact, or iterated Gibbs)
     n_pre: int
     n_post: int
     n_levels: int
+    n_coarse: int = 1  # iterations of the coarse sampler per cycle
 
     @staticmethod
     def create(
@@ -101,6 +102,7 @@ class MGMCSampler:
         n_pre: int = 1,
         n_post: int = 1,
         coarse_sampler=None,
+        n_coarse: int = 1,
     ) -> "MGMCSampler":
         ops = build_hierarchy(op, n_levels=n_levels, coarsest_size=coarsest_size)
         smoothers = tuple(
@@ -115,6 +117,7 @@ class MGMCSampler:
             n_pre=n_pre,
             n_post=n_post,
             n_levels=len(ops),
+            n_coarse=n_coarse,
         )
 
     # -- properties ---------------------------------------------------------
@@ -132,11 +135,15 @@ class MGMCSampler:
         o = self.fine_op
         return o.base if isinstance(o, LRCOperator) else o
 
+    @property
+    def dtype(self):
+        return self.base.dtype
+
     # -- noise bookkeeping ----------------------------------------------------
     def noise_shapes(self):
         def level(l):
             if l == self.n_levels - 1:
-                return self.coarse.noise_shapes()
+                return [self.coarse.noise_shapes() for _ in range(self.n_coarse)]
             s = self.smoothers[l]
             return {
                 "pre": [s.noise_shapes() for _ in range(self.n_pre)],
@@ -150,7 +157,10 @@ class MGMCSampler:
     def _cycle(self, l: int, bl, noises):
         """One stochastic V-cycle at level l from zero initial guess."""
         if l == self.n_levels - 1:
-            return self.coarse.step_with_noise(None, bl, noises)
+            x = jnp.zeros_like(bl)
+            for i in range(self.n_coarse):
+                x = self.coarse.step_with_noise(x, bl, noises[i])
+            return x
         op = self.ops[l]
         smoother = self.smoothers[l]
         x = jnp.zeros_like(bl)

@@ -1,0 +1,91 @@
+"""Sampler composition by config tree.
+
+The reference composes samplers through PETSc's options database with
+hierarchical string prefixes (e.g. ``-gamgmc_mg_levels_pc_type mcgibbs``;
+``src/pc_gamgmc.c:43-58``, ``examples/ex9.py:48-66``).  The TPU-native
+equivalent is an explicit nested dict: every node names a sampler type
+plus its options, and inner samplers are sub-dicts.  Example::
+
+    build_sampler(op, {
+        "type": "mgmc",
+        "n_levels": 3,
+        "smoother": {"type": "gibbs", "omega": 1.0, "sweep": "symmetric"},
+        "n_pre": 2, "n_post": 2,
+        "coarse": {"type": "cholesky"},
+    })
+
+Types registered: gibbs (mcgibbs/sorgibbs analogue), cholesky
+(cholsampler), mgmc (gamgmc), woodbury.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from parmgmc_tpu.operators.lrc import LRCOperator
+from parmgmc_tpu.samplers.cholesky import CholeskySampler
+from parmgmc_tpu.samplers.gibbs import GibbsSampler
+from parmgmc_tpu.samplers.mgmc import MGMCSampler, build_hierarchy
+from parmgmc_tpu.samplers.woodbury import WoodburySampler
+
+__all__ = ["build_sampler", "register_sampler"]
+
+_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_sampler(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def build_sampler(op, config: dict):
+    cfg = dict(config)
+    typ = cfg.pop("type")
+    if typ not in _REGISTRY:
+        raise ValueError(f"unknown sampler type {typ!r}; known: {sorted(_REGISTRY)}")
+    return _REGISTRY[typ](op, cfg)
+
+
+@register_sampler("gibbs")
+def _build_gibbs(op, cfg):
+    return GibbsSampler.create(
+        op, omega=cfg.pop("omega", 1.0), sweep=cfg.pop("sweep", "forward")
+    )
+
+
+@register_sampler("cholesky")
+def _build_cholesky(op, cfg):
+    return CholeskySampler.create(op)
+
+
+@register_sampler("mgmc")
+def _build_mgmc(op, cfg):
+    smoother_cfg = cfg.pop("smoother", {"type": "gibbs"})
+    coarse_cfg = cfg.pop("coarse", {"type": "cholesky"})
+    ops = build_hierarchy(
+        op,
+        n_levels=cfg.pop("n_levels", None),
+        coarsest_size=cfg.pop("coarsest_size", 128),
+    )
+    smoothers = tuple(build_sampler(o, dict(smoother_cfg)) for o in ops[:-1])
+    coarse = build_sampler(ops[-1], dict(coarse_cfg))
+    return MGMCSampler(
+        ops=tuple(ops),
+        smoothers=smoothers,
+        coarse=coarse,
+        n_pre=cfg.pop("n_pre", 1),
+        n_post=cfg.pop("n_post", 1),
+        n_levels=len(ops),
+        n_coarse=cfg.pop("n_coarse", 1),
+    )
+
+
+@register_sampler("woodbury")
+def _build_woodbury(op, cfg):
+    assert isinstance(op, LRCOperator), "woodbury requires an LRCOperator"
+    inner_cfg = cfg.pop("sampler", {"type": "cholesky"})
+    inner = build_sampler(op.base, dict(inner_cfg))
+    return WoodburySampler.create(op, inner, solver=cfg.pop("solver", "auto"))

@@ -1,0 +1,60 @@
+"""Tests for IACT / ACF / ESS diagnostics against closed-form chains."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parmgmc_tpu.diagnostics.iact import autocorrelation, ess, iact
+
+
+def ar1_chain(rho, n, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.empty(n)
+    x[0] = rng.standard_normal()
+    innov = np.sqrt(1 - rho**2) * rng.standard_normal(n)
+    for t in range(1, n):
+        x[t] = rho * x[t - 1] + innov[t]
+    return x
+
+
+def test_acf_normalisation_and_shape():
+    x = ar1_chain(0.5, 4096)
+    rho = np.asarray(autocorrelation(x))
+    assert rho.shape == (4096,)
+    assert abs(rho[0] - 1.0) < 1e-12
+    # AR(1) ACF ~ rho^k at small lags
+    np.testing.assert_allclose(rho[1], 0.5, atol=0.05)
+    np.testing.assert_allclose(rho[2], 0.25, atol=0.05)
+
+
+def test_iact_ar1_matches_theory():
+    # IACT of AR(1) = (1 + rho) / (1 - rho)
+    for rho, seed in [(0.5, 1), (0.8, 2)]:
+        x = ar1_chain(rho, 200_000, seed=seed)
+        tau, valid = iact(x)
+        expect = (1 + rho) / (1 - rho)
+        assert valid
+        assert abs(tau - expect) / expect < 0.15, (rho, tau, expect)
+
+
+def test_iact_iid_is_one():
+    x = np.random.default_rng(3).standard_normal(50_000)
+    tau, valid = iact(x)
+    assert valid
+    assert abs(tau - 1.0) < 0.1
+
+
+def test_iact_validity_flag():
+    # Too-short chain for its correlation time -> invalid per 500*tau <= n.
+    x = ar1_chain(0.99, 2_000, seed=4)
+    _, valid = iact(x)
+    assert not valid
+
+
+def test_ess_batched():
+    xs = np.stack([ar1_chain(0.5, 50_000, seed=s) for s in range(3)])
+    taus, valids = iact(xs)
+    assert taus.shape == (3,)
+    assert valids.all()
+    e = ess(xs)
+    assert np.all(e > 10_000)

@@ -135,3 +135,15 @@ def test_gibbs_iteration_operator_identity():
     lhs = M + M.T - A
     rhs_ = (2 - omega) / omega * D
     np.testing.assert_allclose(lhs, rhs_, atol=1e-9)
+
+
+def test_woodbury_exact_with_cholesky_inner():
+    """PCWoodbury semantics: exact posterior invariance with an exact
+    prior sampler (the reference's documented pairing, ex13.py:29-30)."""
+    from parmgmc_tpu.samplers.woodbury import WoodburySampler
+
+    op = make_lrc()
+    inner = CholeskySampler.create(op.base)
+    wb = WoodburySampler.create(op, inner)
+    mean_err, cov_err = invariance_error(wb, op, rhs())
+    assert mean_err < TOL and cov_err < TOL
