@@ -1,0 +1,95 @@
+"""Headline benchmark: ESS/sec on a 256^3 GMRF with MGMC V(2,2).
+
+Mirrors the reference's benchmark harness semantics
+(``/root/reference/examples/benchmark/main.cc``): time-per-sample from a
+wall-clocked chain, IACT of a scalar QOI via the emcee-window estimator
+(``src/iact.c``), and time-per-independent-sample = max(tau,1) * T / n.
+We report ESS/sec = 1 / time-per-independent-sample.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares against an estimated 64-rank MPI CPU reference
+(see BENCH_NOTES.md for the bandwidth model behind the estimate — the
+reference publishes no numbers, per BASELINE.md).
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N = int(os.environ.get("BENCH_N", "256"))
+N_TIME = int(os.environ.get("BENCH_STEPS", "64"))
+N_IACT = int(os.environ.get("BENCH_IACT_STEPS", "1024"))
+DTYPE = jnp.float32
+
+# Estimated reference: 64-rank MPI CPU MGMC on 256^3, ~38 V-cycles/s
+# (bandwidth model, BENCH_NOTES.md), tau ~ 1.5 -> ~25 ESS/sec.
+BASELINE_ESS_PER_SEC = 25.0
+
+
+def main():
+    from parmgmc_tpu.chain import ChainState, sample_chain
+    from parmgmc_tpu.models.problems import gmrf_3d
+    from parmgmc_tpu.samplers.mgmc import MGMCSampler
+
+    op = gmrf_3d(N, kappa=1.0, dtype=DTYPE)
+    sampler = MGMCSampler.create(op, n_pre=2, n_post=2, coarsest_size=128)
+    b = jnp.zeros(op.grid_shape, DTYPE)
+    qoi = lambda x: jnp.mean(x)
+
+    # Pass sampler + b as jit ARGUMENTS: closing over them would embed the
+    # operator hierarchy (hundreds of MB at 256^3) as program constants.
+    run_time = jax.jit(
+        lambda smp, s, bb: sample_chain(smp, s, bb, N_TIME, extract=qoi)
+    )
+    run_iact = jax.jit(
+        lambda smp, s, bb: sample_chain(smp, s, bb, N_IACT, extract=qoi)
+    )
+
+    st = ChainState(
+        x=jnp.zeros(op.grid_shape, DTYPE), key=jax.random.PRNGKey(0)
+    )
+
+    def force(v):
+        # axon's block_until_ready returns before remote execution finishes;
+        # a scalar reduction + host transfer is the reliable fence.
+        return float(jnp.sum(v))
+
+    # Warm-up: compile both programs and advance past the transient.
+    st, _ = run_time(sampler, st, b)
+    force(st.x)
+
+    t0 = time.perf_counter()
+    st, _ = run_time(sampler, st, b)
+    force(st.x)
+    dt = (time.perf_counter() - t0) / N_TIME  # seconds per V(2,2) sample
+
+    st, q = run_iact(sampler, st, b)
+    q = np.asarray(q)
+
+    from parmgmc_tpu.diagnostics.iact import iact
+
+    tau, valid = iact(q)
+    tau = max(float(tau), 1.0)
+    ess_per_sec = 1.0 / (tau * dt)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"ESS/sec, {N}^3 GMRF, MGMC V(2,2) chain, f32, 1 chip"
+                + ("" if valid else " (IACT window short)"),
+                "value": round(ess_per_sec, 2),
+                "unit": "ESS/sec",
+                "vs_baseline": round(ess_per_sec / BASELINE_ESS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

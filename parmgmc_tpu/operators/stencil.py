@@ -156,11 +156,15 @@ def shifted_laplace_fd(
 # Grid-transfer operators (geometric multigrid).
 #
 # Vertex-style coarsening with coarse size ceil(n/2): coarse node i sits at
-# fine node 2i.  P = C ∘ E where E embeds with zeros at odd fine indices and
-# C is the separable symmetric convolution with kernel (1/2, 1, 1/2) per
-# dimension (zero-padded).  R = P^T = subsample ∘ C, which makes Galerkin
-# products A_c = P^T A P exact — the analogue of PETSc's
-# ``-pc_mg_galerkin both`` the reference injects (pc_gamgmc.c:344-349).
+# fine node 2i; odd fine nodes interpolate linearly from their coarse
+# neighbours.  On EVEN-sized dims the last fine node n-1 has only one
+# coarse neighbour — it gets full weight 1 (nearest-neighbour extension)
+# rather than 1/2, so constants are interpolated exactly everywhere.
+# Without this the coarse correction cannot represent near-constant error
+# at the boundary of Neumann-type operators and the V-cycle stalls.
+# R = P^T exactly, which makes Galerkin products A_c = P^T A P exact —
+# the analogue of PETSc's ``-pc_mg_galerkin both`` the reference injects
+# (pc_gamgmc.c:344-349).
 # ---------------------------------------------------------------------------
 
 
@@ -168,110 +172,132 @@ def coarse_shape(fine_shape: Sequence[int]) -> tuple:
     return tuple((int(s) + 1) // 2 for s in fine_shape)
 
 
-def _linear_conv(x: jax.Array) -> jax.Array:
-    """Separable convolution with kernel (1/2, 1, 1/2) per dim, zero padded."""
-    d = x.ndim
-    shape = x.shape
-    y = x
-    for axis in range(d):
-        yp = jnp.pad(y, [(1, 1) if a == axis else (0, 0) for a in range(d)])
-        left = yp[tuple(slice(0, shape[a]) if a == axis else slice(None) for a in range(d))]
-        right = yp[tuple(slice(2, 2 + shape[a]) if a == axis else slice(None) for a in range(d))]
-        y = y + 0.5 * (left + right)
-    return y
+def _shift_last(x: jax.Array, by: int) -> jax.Array:
+    """x[..., i + by] with zero fill — a unit pad+slice (GSPMD-safe)."""
+    n = x.shape[-1]
+    pads = [(0, 0)] * (x.ndim - 1) + [(max(0, -by), max(0, by))]
+    xp = jnp.pad(x, pads)
+    return xp[..., max(0, by) : max(0, by) + n]
+
+
+def _last_mask(n: int, dtype) -> jnp.ndarray:
+    return (jnp.arange(n) == n - 1).astype(dtype)
+
+
+def _prolong_1d(c: jax.Array, axis: int, nf: int) -> jax.Array:
+    """1D linear interpolation along ``axis`` from ceil(nf/2) to nf points.
+
+    Implemented with reshapes-to-pairs and unit shifts only: stride-2
+    slices/scatters on sharded dims miscompile under the SPMD partitioner,
+    so none are used on the (potentially sharded) even-size path.
+    """
+    c = jnp.moveaxis(c, axis, -1)
+    nc = c.shape[-1]
+    if nf % 2 == 1:
+        # odd fine size: nc - 1 interior midpoints; never sharded (odd dims
+        # don't divide a mesh), strided construction is fine.
+        out_shape = c.shape[:-1] + (nf,)
+        z = jnp.zeros(out_shape, dtype=c.dtype)
+        z = z.at[..., 0::2].set(c)
+        z = z.at[..., 1::2].set(0.5 * (c[..., :-1] + c[..., 1:]))
+    else:
+        c_next = _shift_last(c, 1)
+        od = 0.5 * (c + c_next)
+        # boundary fix: last odd fine node takes full weight from c[-1]
+        od = od + 0.5 * c * _last_mask(nc, c.dtype)
+        z = jnp.stack([c, od], axis=-1).reshape(c.shape[:-1] + (nf,))
+    return jnp.moveaxis(z, -1, axis)
+
+
+def _restrict_1d(f: jax.Array, axis: int) -> jax.Array:
+    """Exact transpose of :func:`_prolong_1d` along ``axis``."""
+    f = jnp.moveaxis(f, axis, -1)
+    nf = f.shape[-1]
+    nc = (nf + 1) // 2
+    if nf % 2 == 1:
+        y = f[..., 0::2]
+        odds = f[..., 1::2]  # nc - 1 of them, all interior
+        y = y.at[..., :-1].add(0.5 * odds)
+        y = y.at[..., 1:].add(0.5 * odds)
+    else:
+        fr = f.reshape(f.shape[:-1] + (nc, 2))
+        ev, od = fr[..., 0], fr[..., 1]
+        y = ev + 0.5 * od + 0.5 * _shift_last(od, -1)
+        # transpose of the boundary fix: f[-1] contributes 1.0 in total
+        y = y + 0.5 * od * _last_mask(nc, f.dtype)
+    return jnp.moveaxis(y, -1, axis)
 
 
 def prolong(xc: jax.Array, fine_shape: Sequence[int]) -> jax.Array:
     """Interpolate a coarse-grid field to the fine grid ((bi/tri)linear)."""
     fine_shape = tuple(fine_shape)
-    z = jnp.zeros(fine_shape, dtype=xc.dtype)
-    z = z.at[tuple(slice(None, None, 2) for _ in fine_shape)].set(xc)
-    return _linear_conv(z)
+    y = xc
+    for axis, nf in enumerate(fine_shape):
+        y = _prolong_1d(y, axis, nf)
+    return y
 
 
 def restrict(xf: jax.Array) -> jax.Array:
     """Full-weighting restriction, the exact transpose of :func:`prolong`."""
-    y = _linear_conv(xf)
-    return y[tuple(slice(None, None, 2) for _ in xf.shape)]
-
-
-def _neighbor_mask(shape, off) -> np.ndarray:
-    """1 where node i and neighbour i+off are both in-grid, else 0."""
-    m = np.ones(shape)
-    for axis, o in enumerate(off):
-        idx = [slice(None)] * len(shape)
-        if o == -1:
-            idx[axis] = 0
-            m[tuple(idx)] = 0.0
-        elif o == 1:
-            idx[axis] = shape[axis] - 1
-            m[tuple(idx)] = 0.0
-    return m
+    y = xf
+    for axis in range(xf.ndim):
+        y = _restrict_1d(y, axis)
+    return y
 
 
 @jax.jit
 def galerkin_coarse_operator(op: StencilOperator) -> StencilOperator:
-    """Closed-form Galerkin triple product A_c = P^T A P as a coarse stencil.
+    """Exact Galerkin triple product A_c = P^T A P as a coarse stencil.
 
-    With P = C∘E (linear-kernel convolution after zero-embedding) and
-    R = P^T, we have A_c[i, i+w] = (C A C)[2i, 2i + 2w].  Expanding the
-    stencil composition gives
-
-        A_c[i, i+w] = sum_{u, o} k[u] * k[2w - u - o] * a_o[2i + u]
-
-    with k the separable (1/2, 1, 1/2) kernel and a_o the (boundary-masked)
-    coefficient field of A at offset o.  That is exactly ONE strided
-    convolution over the stacked coefficient fields with a static
-    (3^d x C_in x 3 x ... x 3) kernel — the TPU-native replacement for the
-    reference's sparse ``MatPtAP`` (``-pc_mg_galerkin both`` injected at
-    pc_gamgmc.c:344-349).  Compiles in milliseconds and runs at any grid
-    size (needed for the 256^3+ hierarchies).
+    T = P^T ∘ A ∘ P has stencil radius 1 on the coarse grid, so its
+    coefficient fields are recovered exactly from T applied to 4^d "comb"
+    indicator grids: impulses spaced 4 apart never interact, and
+    ``u_phase[j] = T[j, j+off]`` for the unique comb column ``j+off`` of
+    matching phase.  Extraction is a static gather over the stacked comb
+    responses (no scatters — compiles fast, runs at 256^3+).  This
+    replaces the reference's sparse ``MatPtAP`` under
+    ``-pc_mg_galerkin both`` (pc_gamgmc.c:344-349) and remains exact for
+    the boundary-corrected prolongation on even-sized grids.
     """
     fshape = op.grid_shape
+    cshape = coarse_shape(fshape)
     d = len(fshape)
     dtype = op.dtype
     zero = (0,) * d
+    nphase = 4**d
 
-    offs_in = (zero,) + tuple(op.offsets)
-    offs_out = tuple(itertools.product((-1, 0, 1), repeat=d))  # includes zero
+    # Phase code of each coarse node: base-4 digits of (j mod 4).  Built
+    # from iotas inside the trace (a 128^3 host constant would bloat the
+    # executable past remote-compile limits).
+    def phase_code(off):
+        code = jnp.zeros(cshape, dtype=jnp.int32)
+        for ax in range(d):
+            i = jax.lax.broadcasted_iota(jnp.int32, cshape, ax)
+            code = code * 4 + ((i + off[ax]) % 4)
+        return code
 
-    # Stack boundary-masked full coefficient fields as conv channels.
-    fields = [op.diag]
-    for off, c in zip(op.offsets, op.coeffs):
-        mask = jnp.asarray(_neighbor_mask(fshape, off), dtype=dtype)
-        fields.append(jnp.broadcast_to(c, fshape) * mask)
-    x = jnp.stack(fields)[None]  # (1, C_in, *fine)
+    pcode_j = phase_code(zero)
 
-    def kprod(v):
-        k1 = {-1: 0.5, 0: 1.0, 1: 0.5}
-        p = 1.0
-        for vi in v:
-            p *= k1[vi]
-        return p
+    def T(p):
+        comb = (pcode_j == p).astype(dtype)
+        return restrict(op.apply(prolong(comb, fshape)))
 
-    K = np.zeros((len(offs_out), len(offs_in)) + (3,) * d)
-    for iw, w in enumerate(offs_out):
-        for io, o in enumerate(offs_in):
-            for u in itertools.product((-1, 0, 1), repeat=d):
-                m = tuple(2 * wi - ui - oi for wi, ui, oi in zip(w, u, o))
-                if all(abs(mi) <= 1 for mi in m):
-                    kidx = tuple(ui + 1 for ui in u)
-                    K[(iw, io) + kidx] += kprod(u) * kprod(m)
+    U = jax.lax.map(T, jnp.arange(nphase, dtype=jnp.int32))  # (4^d, *coarse)
 
-    dn = jax.lax.ConvDimensionNumbers(
-        lhs_spec=(0, 1) + tuple(range(2, 2 + d)),
-        rhs_spec=(0, 1) + tuple(range(2, 2 + d)),
-        out_spec=(0, 1) + tuple(range(2, 2 + d)),
+    offsets = tuple(
+        off
+        for off in itertools.product((-1, 0, 1), repeat=d)
+        if any(o != 0 for o in off)
     )
-    out = jax.lax.conv_general_dilated(
-        x,
-        jnp.asarray(K, dtype=dtype),
-        window_strides=(2,) * d,
-        padding=[(1, 1)] * d,
-        dimension_numbers=dn,
-    )[0]  # (27, *coarse)
 
-    coeff_map = {w: out[i] for i, w in enumerate(offs_out)}
-    offsets = tuple(w for w in offs_out if w != zero)
-    coeffs = tuple(coeff_map[w] for w in offsets)
-    return StencilOperator(offsets=offsets, coeffs=coeffs, diag=coeff_map[zero])
+    def extract(off):
+        # Row j's coefficient at offset off lives in the comb response of
+        # phase (j + off) mod 4 (per axis) at position j; out-of-grid
+        # neighbours yield 0 automatically (no comb point of that phase
+        # within radius 1 of j).
+        sel = phase_code(off)[None]
+        return jnp.take_along_axis(U, sel, axis=0)[0]
+
+    coeffs = tuple(extract(off) for off in offsets)
+    diag = extract(zero)
+    return StencilOperator(offsets=offsets, coeffs=coeffs, diag=diag)

@@ -24,8 +24,8 @@ distribution).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
-import numpy as np
 
 from parmgmc_tpu.operators.stencil import StencilOperator
 
@@ -37,22 +37,29 @@ def num_colors(op: StencilOperator) -> int:
 
 
 def color_masks(grid_shape, ncolors: int):
-    """Static boolean masks, one per color, tiling the grid.
+    """Boolean masks, one per color, tiling the grid.
+
+    Built from broadcasted iotas *inside* the trace (never as host
+    constants — a 256^3 constant mask would bloat the executable), so XLA
+    fuses the mask computation into the update.
 
     ncolors == 2: color = (i0 + i1 + ...) % 2 (red/black).
     ncolors == 2^d: color index = binary code of per-coordinate parities.
     """
     d = len(grid_shape)
-    idx = np.indices(grid_shape)
     if ncolors == 2:
-        code = idx.sum(axis=0) % 2
+        code = sum(
+            jax.lax.broadcasted_iota(jnp.int32, grid_shape, ax) for ax in range(d)
+        ) % 2
     elif ncolors == 2**d:
-        code = np.zeros(grid_shape, dtype=np.int64)
-        for axis in range(d):
-            code = 2 * code + (idx[axis] % 2)
+        code = jnp.zeros(grid_shape, dtype=jnp.int32)
+        for ax in range(d):
+            code = 2 * code + (
+                jax.lax.broadcasted_iota(jnp.int32, grid_shape, ax) % 2
+            )
     else:
         raise ValueError(f"unsupported ncolors={ncolors} for d={d}")
-    return tuple(jnp.asarray(code == c) for c in range(ncolors))
+    return tuple(code == c for c in range(ncolors))
 
 
 def sor_sweep(
