@@ -37,8 +37,11 @@ def main():
     from parmgmc_tpu.models.problems import gmrf_3d
     from parmgmc_tpu.samplers.mgmc import MGMCSampler
 
+    # V(1,1) with a deep hierarchy measured best on-chip: MGMC keeps
+    # tau = 1.0 even at one smoothing sweep per leg, so the cheapest
+    # cycle maximises ESS/sec (config sweep in BENCH_NOTES.md).
     op = gmrf_3d(N, kappa=1.0, dtype=DTYPE)
-    sampler = MGMCSampler.create(op, n_pre=2, n_post=2, coarsest_size=128)
+    sampler = MGMCSampler.create(op, n_pre=1, n_post=1, coarsest_size=128)
     b = jnp.zeros(op.grid_shape, DTYPE)
     qoi = lambda x: jnp.mean(x)
 
@@ -81,7 +84,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"ESS/sec, {N}^3 GMRF, MGMC V(2,2) chain, f32, 1 chip"
+                "metric": f"ESS/sec, {N}^3 GMRF, MGMC V(1,1) chain, f32, 1 chip"
                 + ("" if valid else " (IACT window short)"),
                 "value": round(ess_per_sec, 2),
                 "unit": "ESS/sec",

@@ -63,12 +63,32 @@ def build_lrc_correction(
     return Bb
 
 
-@pytree_dataclass(meta=("sweep",))
+def _fused_eligible(base: StencilOperator) -> bool:
+    """Can the Pallas fused red/black sweep kernel serve this operator?"""
+    return (
+        base.ndim == 3
+        and base.is_star()
+        and all(getattr(c, "ndim", 1) == 0 for c in base.coeffs)
+        and base.dtype == jnp.float32
+        and base.grid_shape[0] % 2 == 0
+        and base.grid_shape[0] >= 8
+        and base.grid_shape[2] % 128 == 0
+    )
+
+
+@pytree_dataclass(meta=("sweep", "impl"))
 class GibbsSampler:
     """Multicolor SOR-Gibbs sampler for N(A^{-1}b, A^{-1}).
 
     Operates on ``StencilOperator`` or ``LRCOperator``.  The LRC fields
     (B, sigma_inv, Bb_fw, Bb_bw) are None for plain stencil operators.
+
+    ``impl``: "lax" = masked-update sweeps (general); "fused" = the
+    Pallas single-kernel sweep with on-chip noise (3D constant-coefficient
+    star stencils, f32).  The keyed ``step`` uses the fused kernel when
+    selected; the explicit-noise ``step_with_noise`` (exactness tests,
+    Woodbury correction probing) always uses the lax path — both apply
+    the same red/black SOR iteration operator.
     """
 
     base: StencilOperator
@@ -79,10 +99,13 @@ class GibbsSampler:
     sqrt_sigma_inv: Union[jax.Array, None]
     Bb_fw: Union[jax.Array, None]
     Bb_bw: Union[jax.Array, None]
+    impl: str = "lax"
 
     # -- construction ------------------------------------------------------
     @staticmethod
-    def create(op, omega: float = 1.0, sweep: str = "forward") -> "GibbsSampler":
+    def create(
+        op, omega: float = 1.0, sweep: str = "forward", impl: str = "auto"
+    ) -> "GibbsSampler":
         assert sweep in ("forward", "backward", "symmetric")
         if isinstance(op, LRCOperator):
             base = op.base
@@ -93,6 +116,9 @@ class GibbsSampler:
         else:
             base = op
             B = sqrt_sigma_inv = Bb_fw = Bb_bw = None
+        if impl == "auto":
+            on_tpu = jax.default_backend() not in ("cpu", "gpu")
+            impl = "fused" if (on_tpu and _fused_eligible(base)) else "lax"
         om = jnp.asarray(omega, dtype=base.dtype)
         noise_scale = jnp.sqrt((2.0 - om) / om) * jnp.sqrt(base.diag)
         return GibbsSampler(
@@ -104,6 +130,7 @@ class GibbsSampler:
             sqrt_sigma_inv=sqrt_sigma_inv,
             Bb_fw=Bb_fw,
             Bb_bw=Bb_bw,
+            impl=impl,
         )
 
     @property
@@ -163,7 +190,40 @@ class GibbsSampler:
     def prepare(self, b):
         return None
 
+    # -- fused-kernel keyed path --------------------------------------------
+    def _coeff6(self):
+        """Off-diagonal scalars ordered (-e0,+e0,-e1,+e1,-e2,+e2)."""
+        order = [(-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0), (0, 0, -1), (0, 0, 1)]
+        m = dict(zip(self.base.offsets, self.base.coeffs))
+        return jnp.stack([m[o].astype(jnp.float32) for o in order])
+
+    def _fused_step(self, key, x, b):
+        from parmgmc_tpu.kernels.rb_gibbs import fused_rb_gibbs_sweep
+
+        key, k1, k2 = jax.random.split(key, 3)
+        # 62 bits of per-step keying (the kernel mixes seed, step, row).
+        seed = jax.random.randint(k1, (), 0, 2**31 - 1, dtype=jnp.int32)
+        extra = jax.random.randint(k2, (), 0, 2**30 - 1, dtype=jnp.int32)
+        coeffs = self._coeff6()
+        dirs = (
+            ["forward", "backward"] if self.sweep == "symmetric" else [self.sweep]
+        )
+        for i, d in enumerate(dirs):
+            x = fused_rb_gibbs_sweep(
+                x,
+                b,
+                self.base.diag,
+                coeffs,
+                self.omega.astype(jnp.float32),
+                seed,
+                extra * 2 + i,
+                sweep=d,
+            )
+        return key, x
+
     def step(self, key, x, b, aux=None):
+        if self.impl == "fused" and not self.is_lrc:
+            return self._fused_step(key, x, b)
         key, sub = jax.random.split(key)
         noises = _draw(sub, self.noise_shapes(), x.dtype)
         return key, self.step_with_noise(x, b, noises)

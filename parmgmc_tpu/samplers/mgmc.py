@@ -103,10 +103,12 @@ class MGMCSampler:
         n_post: int = 1,
         coarse_sampler=None,
         n_coarse: int = 1,
+        impl: str = "auto",
     ) -> "MGMCSampler":
         ops = build_hierarchy(op, n_levels=n_levels, coarsest_size=coarsest_size)
         smoothers = tuple(
-            GibbsSampler.create(o, omega=omega, sweep=sweep) for o in ops[:-1]
+            GibbsSampler.create(o, omega=omega, sweep=sweep, impl=impl)
+            for o in ops[:-1]
         )
         if coarse_sampler is None:
             coarse_sampler = CholeskySampler.create(ops[-1])
@@ -178,10 +180,33 @@ class MGMCSampler:
         r = b - self.fine_op.apply(x)
         return x + self._cycle(0, r, noises)
 
+    # -- keyed cycle: lets fused-kernel smoothers generate noise on chip ----
+    def _cycle_keyed(self, l: int, bl, key):
+        if l == self.n_levels - 1:
+            x = jnp.zeros_like(bl)
+            for i in range(self.n_coarse):
+                key, x = self.coarse.step(key, x, bl)
+            return x
+        op = self.ops[l]
+        smoother = self.smoothers[l]
+        x = jnp.zeros_like(bl)
+        for i in range(self.n_pre):
+            key, x = smoother.step(key, x, bl)
+        key, sub = jax.random.split(key)
+        r = restrict(bl - op.apply(x))
+        xc = self._cycle_keyed(l + 1, r, sub)
+        x = x + prolong(xc, op.grid_shape)
+        for i in range(self.n_post):
+            key, x = smoother.step(key, x, bl)
+        return x
+
     def prepare(self, b):
         return None
 
     def step(self, key, x, b, aux=None):
         key, sub = jax.random.split(key)
+        if any(getattr(s, "impl", "lax") == "fused" for s in self.smoothers):
+            r = b - self.fine_op.apply(x)
+            return key, x + self._cycle_keyed(0, r, sub)
         noises = _draw(sub, self.noise_shapes(), x.dtype)
         return key, self.step_with_noise(x, b, noises)
