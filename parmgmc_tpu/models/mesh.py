@@ -1,0 +1,223 @@
+"""Gmsh meshes and P1 finite-element assembly of Matérn precisions.
+
+Unstructured-mesh analogue of the reference's MS assembly path
+(``/root/reference/src/ms.c:84-164``: P1 FE weak form
+``kappa^2 u v + grad u . grad v`` on a DMPlex/Gmsh mesh).  Here the mesh
+is parsed directly from Gmsh 4.1 ``.msh`` files (triangles in 2D,
+tetrahedra in 3D), the stiffness K and consistent mass M are assembled
+on the host into scipy CSR, and the precision A = kappa^2 M + K ships
+to the device as a colour-blocked GraphOperator.
+
+Also provides ``unit_square_mesh`` for self-contained tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "read_gmsh",
+    "unit_square_mesh",
+    "assemble_p1",
+    "matern_precision_mesh",
+    "refine",
+    "mesh_observation_mats",
+]
+
+
+def read_gmsh(path):
+    """Parse a Gmsh 4.1 ASCII .msh file -> (points (n,d), cells (m,k)).
+
+    Keeps the highest-dimensional elements found (tets if present, else
+    triangles); coordinates are truncated to that dimension.
+    """
+    with open(path) as f:
+        lines = f.read().split("\n")
+    i = 0
+
+    def until(tag):
+        nonlocal i
+        while lines[i].strip() != tag:
+            i += 1
+        i += 1
+
+    until("$Nodes")
+    header = lines[i].split()
+    i += 1
+    num_blocks, num_nodes = int(header[0]), int(header[1])
+    max_tag = int(header[3])
+    coords = np.zeros((max_tag + 1, 3))
+    for _ in range(num_blocks):
+        bh = lines[i].split()
+        i += 1
+        nb = int(bh[3])
+        tags = [int(lines[i + k]) for k in range(nb)]
+        i += nb
+        for k in range(nb):
+            xyz = lines[i + k].split()
+            coords[tags[k]] = [float(xyz[0]), float(xyz[1]), float(xyz[2])]
+        i += nb
+
+    until("$Elements")
+    header = lines[i].split()
+    i += 1
+    num_blocks = int(header[0])
+    tris, tets = [], []
+    for _ in range(num_blocks):
+        bh = lines[i].split()
+        i += 1
+        etype, nb = int(bh[2]), int(bh[3])
+        for k in range(nb):
+            parts = lines[i + k].split()
+            if etype == 2:
+                tris.append([int(p) for p in parts[1:4]])
+            elif etype == 4:
+                tets.append([int(p) for p in parts[1:5]])
+        i += nb
+
+    if tets:
+        cells_tagged = np.asarray(tets)
+        dim = 3
+    elif tris:
+        cells_tagged = np.asarray(tris)
+        dim = 2
+    else:
+        raise ValueError("no triangles or tetrahedra found in mesh")
+
+    used = np.unique(cells_tagged)
+    remap = np.full(coords.shape[0], -1, dtype=np.int64)
+    remap[used] = np.arange(used.size)
+    cells = remap[cells_tagged]
+    points = coords[used][:, :dim]
+    return points, cells
+
+
+def unit_square_mesh(n: int):
+    """Structured triangulation of [0,1]^2 with (n+1)^2 nodes (tests)."""
+    xs = np.linspace(0, 1, n + 1)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    pts = np.stack([X.ravel(), Y.ravel()], axis=-1)
+    cells = []
+    for i in range(n):
+        for j in range(n):
+            v00 = i * (n + 1) + j
+            v10 = (i + 1) * (n + 1) + j
+            v01 = v00 + 1
+            v11 = v10 + 1
+            cells.append([v00, v10, v11])
+            cells.append([v00, v11, v01])
+    return pts, np.asarray(cells)
+
+
+def assemble_p1(points: np.ndarray, cells: np.ndarray):
+    """P1 stiffness K and consistent mass M as scipy CSR (vectorised)."""
+    import scipy.sparse as sp
+
+    d = points.shape[1]
+    k = cells.shape[1]
+    assert k == d + 1, "cells must be simplices of the coordinate dimension"
+    ne = cells.shape[0]
+    X = points[cells]  # (ne, d+1, d)
+
+    # Edge matrix T: columns x_i - x_0, volume, and barycentric gradients.
+    T = np.transpose(X[:, 1:] - X[:, :1], (0, 2, 1))  # (ne, d, d)
+    detT = np.linalg.det(T)
+    vol = np.abs(detT) / (1.0 if d == 1 else (2.0 if d == 2 else 6.0))
+    Tinv = np.linalg.inv(T)  # (ne, d, d)
+    # gradients of barycentric coords: lambda_i, i=1..d rows of Tinv;
+    # lambda_0 = 1 - sum -> grad = -sum of rows.
+    G = np.zeros((ne, d + 1, d))
+    G[:, 1:, :] = Tinv
+    G[:, 0, :] = -Tinv.sum(axis=1)
+
+    Ke = np.einsum("eid,ejd,e->eij", G, G, vol)  # (ne, d+1, d+1)
+    # consistent P1 mass: vol/((d+1)(d+2)) * (1 + delta_ij)
+    base = np.ones((d + 1, d + 1)) + np.eye(d + 1)
+    Me = vol[:, None, None] * base[None] / ((d + 1) * (d + 2))
+
+    rows = np.repeat(cells, d + 1, axis=1).ravel()
+    colS = np.tile(cells, (1, d + 1)).ravel()
+    n = points.shape[0]
+    K = sp.csr_matrix((Ke.ravel(), (rows, colS)), shape=(n, n))
+    M = sp.csr_matrix((Me.ravel(), (rows, colS)), shape=(n, n))
+    K.sum_duplicates()
+    M.sum_duplicates()
+    return K, M
+
+
+def matern_precision_mesh(points, cells, kappa: float):
+    """A = kappa^2 M + K as scipy CSR (the ms.c weak form)."""
+    K, M = assemble_p1(points, cells)
+    return (kappa**2) * M + K
+
+
+def refine(points: np.ndarray, cells: np.ndarray):
+    """Uniform simplex refinement: tri -> 4 tris, tet -> 8 tets.
+
+    The analogue of the reference's mesh-refinement hierarchy setup
+    (DMRefineHierarchy in ms.c:310-321 / ex13's refinement weak scaling).
+    """
+    d = points.shape[1]
+    k = cells.shape[1]
+    edge_mid = {}
+    pts = [p for p in points]
+
+    def mid(a, b):
+        key = (min(a, b), max(a, b))
+        if key not in edge_mid:
+            edge_mid[key] = len(pts)
+            pts.append(0.5 * (points[a] + points[b]))
+        return edge_mid[key]
+
+    new_cells = []
+    if k == 3:  # triangles
+        for a, b, c in cells:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            new_cells += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+    elif k == 4:  # tets: 4 corner tets + octahedron split along one diagonal
+        for a, b, c, dd in cells:
+            ab, ac, ad = mid(a, b), mid(a, c), mid(a, dd)
+            bc, bd, cd = mid(b, c), mid(b, dd), mid(c, dd)
+            new_cells += [
+                [a, ab, ac, ad],
+                [b, ab, bc, bd],
+                [c, ac, bc, cd],
+                [dd, ad, bd, cd],
+                # octahedron {ab,ac,ad,bc,bd,cd} split along diagonal ab-cd
+                [ab, ac, ad, cd],
+                [ab, ac, bc, cd],
+                [ab, bc, bd, cd],
+                [ab, ad, bd, cd],
+            ]
+    else:
+        raise ValueError("only tri/tet meshes")
+    return np.asarray(pts), np.asarray(new_cells)
+
+
+def mesh_observation_mats(
+    points, cells, sigma2, coords, radii, obsvals=None
+):
+    """Ball-average observation operators on a mesh (obs.c:135-173).
+
+    Column i = M @ (indicator of ball i / vol(ball i)) with M the
+    consistent P1 mass matrix; S = Sigma^{-1} = ones/sigma2;
+    f = B (S * y_obs).  Returned in the mesh's ORIGINAL node ordering.
+    """
+    import math as _math
+
+    _, M = assemble_p1(points, cells)
+    coords = np.asarray(coords, dtype=float)
+    radii = np.asarray(radii, dtype=float)
+    d = points.shape[1]
+    nobs = coords.shape[0]
+    cols = []
+    for i in range(nobs):
+        vol = _math.pi * radii[i] ** 2 if d == 2 else 4 * _math.pi / 3 * radii[i] ** 3
+        ind = (
+            ((points - coords[i]) ** 2).sum(axis=1) < radii[i] ** 2
+        ).astype(float) / vol
+        cols.append(M @ ind)
+    B = np.stack(cols, axis=-1)
+    sigma_inv = np.full(nobs, 1.0 / sigma2)
+    f = B @ (sigma_inv * np.asarray(obsvals)) if obsvals is not None else None
+    return B, sigma_inv, f

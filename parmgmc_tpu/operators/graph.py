@@ -1,0 +1,158 @@
+"""Sparse graph operators for unstructured meshes (ELL layout).
+
+TPU-native replacement for the reference's ``MATAIJ`` CSR operators on
+unstructured (DMPlex/Gmsh) meshes.  CSR row loops serialize on TPU, so
+rows are stored in fixed-width ELL form — ``vals (n, w)``,
+``cols (n, w)`` — and a matvec is ONE batched gather + a row reduction.
+
+For multicolour Gauss-Seidel/Gibbs sweeps the unknowns are permuted at
+setup so that colours are contiguous row blocks (the analogue of the
+reference's per-colour index sets, mc_sor.c:251-295): one colour
+sub-sweep is a gather over a static row slice + a dynamic-update-slice,
+with no masks and no scatter.  The greedy distance-1 colouring plays the
+role of PETSc's MATCOLORINGJP (mc_sor.c:383-395).
+
+The operator presents the same protocol as StencilOperator with
+``grid_shape == (n,)`` — every sampler (Gibbs, Cholesky, MGMC, LRC,
+Woodbury) and the exactness test harness work on it unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parmgmc_tpu._pytree import pytree_dataclass
+
+__all__ = ["GraphOperator", "greedy_coloring", "from_csr"]
+
+
+def greedy_coloring(indptr, indices, n) -> np.ndarray:
+    """Greedy distance-1 colouring (natural order) of a symmetric graph."""
+    colors = np.full(n, -1, dtype=np.int32)
+    for i in range(n):
+        nb = indices[indptr[i] : indptr[i + 1]]
+        used = set(colors[j] for j in nb if colors[j] >= 0)
+        c = 0
+        while c in used:
+            c += 1
+        colors[i] = c
+    return colors
+
+
+@pytree_dataclass(meta=("color_starts",))
+class GraphOperator:
+    """Symmetric sparse operator in colour-blocked ELL form."""
+
+    vals: jax.Array  # (n, w) off-diagonal values (0-padded)
+    cols: jax.Array  # (n, w) int32 column ids (self-padded)
+    diag: jax.Array  # (n,)
+    perm: jax.Array  # (n,) original -> internal ordering: internal[i] = orig[perm[i]]
+    iperm: jax.Array  # (n,) inverse permutation
+    color_starts: tuple  # static row offsets of the colour blocks (len ncolors+1)
+
+    @property
+    def grid_shape(self):
+        return (self.diag.shape[0],)
+
+    @property
+    def ndim(self) -> int:
+        return 1
+
+    @property
+    def n(self) -> int:
+        return self.diag.shape[0]
+
+    @property
+    def dtype(self):
+        return self.diag.dtype
+
+    @property
+    def ncolors(self) -> int:
+        return len(self.color_starts) - 1
+
+    # -- linear algebra ------------------------------------------------------
+    def offdiag_apply(self, x: jax.Array) -> jax.Array:
+        return jnp.sum(self.vals * x[self.cols], axis=1)
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        return self.diag * x + self.offdiag_apply(x)
+
+    def to_dense(self) -> jax.Array:
+        n = self.n
+        A = jnp.zeros((n, n), dtype=self.dtype)
+        rows = jnp.broadcast_to(jnp.arange(n)[:, None], self.cols.shape)
+        A = A.at[rows, self.cols].add(self.vals)
+        return A + jnp.diag(self.diag)
+
+    # -- multicolour SOR sweep -------------------------------------------------
+    def sor_sweep(self, b, x, omega, sweep: str = "forward"):
+        """One multicolour SOR sweep; colours are contiguous row blocks."""
+        if sweep == "symmetric":
+            x = self.sor_sweep(b, x, omega, "forward")
+            return self.sor_sweep(b, x, omega, "backward")
+        order = range(self.ncolors)
+        if sweep == "backward":
+            order = reversed(list(order))
+        for c in order:
+            s, e = self.color_starts[c], self.color_starts[c + 1]
+            if s == e:
+                continue
+            vals = self.vals[s:e]
+            cols = self.cols[s:e]
+            sums = jnp.sum(vals * x[cols], axis=1)
+            upd = (1.0 - omega) * x[s:e] + (omega / self.diag[s:e]) * (
+                b[s:e] - sums
+            )
+            x = jax.lax.dynamic_update_slice(x, upd, (s,))
+        return x
+
+    # -- permutation helpers ---------------------------------------------------
+    def to_internal(self, v_orig):
+        return v_orig[self.perm]
+
+    def to_original(self, v_int):
+        return v_int[self.iperm]
+
+
+def from_csr(A_csr, dtype=jnp.float64) -> GraphOperator:
+    """Build a colour-blocked GraphOperator from a scipy CSR matrix."""
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A_csr)
+    n = A.shape[0]
+    colors = greedy_coloring(A.indptr, A.indices, n)
+    ncolors = int(colors.max()) + 1
+    perm = np.argsort(colors, kind="stable").astype(np.int32)
+    iperm = np.empty(n, dtype=np.int32)
+    iperm[perm] = np.arange(n, dtype=np.int32)
+
+    counts = np.bincount(colors, minlength=ncolors)
+    starts = np.concatenate([[0], np.cumsum(counts)]).astype(int)
+
+    # Symmetric permutation PAP^T in internal ordering.
+    Ap = A[perm][:, perm].tocsr()
+    diag = Ap.diagonal().copy()
+    Aoff = Ap - sp.diags(diag)
+    Aoff.eliminate_zeros()
+    Aoff = Aoff.tocsr()
+    w = max(1, int(np.diff(Aoff.indptr).max()))
+    vals = np.zeros((n, w))
+    cols = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, w))
+    for i in range(n):
+        lo, hi = Aoff.indptr[i], Aoff.indptr[i + 1]
+        k = hi - lo
+        vals[i, :k] = Aoff.data[lo:hi]
+        cols[i, :k] = Aoff.indices[lo:hi]
+
+    return GraphOperator(
+        vals=jnp.asarray(vals, dtype=dtype),
+        cols=jnp.asarray(cols),
+        diag=jnp.asarray(diag, dtype=dtype),
+        perm=jnp.asarray(perm),
+        iperm=jnp.asarray(iperm),
+        color_starts=tuple(int(s) for s in starts),
+    )

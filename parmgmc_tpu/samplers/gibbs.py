@@ -51,7 +51,7 @@ def build_lrc_correction(
     k = B.shape[-1]
 
     def det_sor(col):  # one deterministic sweep from zero: M^{-1} col
-        return sor_sweep(base, col, jnp.zeros_like(col), omega, sweep)
+        return _op_sweep(base, col, jnp.zeros_like(col), omega, sweep)
 
     cols = jnp.moveaxis(B, -1, 0)  # (k, *grid)
     C = jax.vmap(det_sor)(cols)  # (k, *grid) = columns of M^{-1} B
@@ -63,10 +63,20 @@ def build_lrc_correction(
     return Bb
 
 
-def _fused_eligible(base: StencilOperator) -> bool:
+def _op_sweep(base, b, x, omega, sweep):
+    """Dispatch the multicolour SOR sweep to the operator's implementation
+    (GraphOperator carries its own colour-blocked sweep; stencils use the
+    parity-mask sweep)."""
+    if hasattr(base, "sor_sweep"):
+        return base.sor_sweep(b, x, omega, sweep)
+    return sor_sweep(base, b, x, omega, sweep)
+
+
+def _fused_eligible(base) -> bool:
     """Can the Pallas fused red/black sweep kernel serve this operator?"""
     return (
-        base.ndim == 3
+        isinstance(base, StencilOperator)
+        and base.ndim == 3
         and base.is_star()
         and all(getattr(c, "ndim", 1) == 0 for c in base.coeffs)
         and base.dtype == jnp.float32
@@ -169,7 +179,7 @@ class GibbsSampler:
             w = self.sqrt_sigma_inv * noise["eta_lr"]
             ndim = self.base.ndim
             btilde = btilde + jnp.tensordot(self.B, w, axes=((ndim,), (0,)))
-        x = sor_sweep(self.base, btilde, x, self.omega, direction)
+        x = _op_sweep(self.base, btilde, x, self.omega, direction)
         if self.is_lrc:
             Bb = self.Bb_fw if direction == "forward" else self.Bb_bw
             ndim = self.base.ndim

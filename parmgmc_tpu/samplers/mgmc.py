@@ -40,9 +40,8 @@ from parmgmc_tpu.operators.stencil import (
     StencilOperator,
     coarse_shape,
     galerkin_coarse_operator,
-    prolong,
-    restrict,
 )
+from parmgmc_tpu.operators.transfer import GeometricTransfer
 from parmgmc_tpu.samplers.cholesky import CholeskySampler
 from parmgmc_tpu.samplers.gibbs import GibbsSampler, _draw
 
@@ -50,13 +49,24 @@ __all__ = ["MGMCSampler", "build_hierarchy"]
 
 
 def build_hierarchy(op, n_levels=None, coarsest_size=128):
-    """Per-level operators [fine, ..., coarsest] via Galerkin coarsening.
+    """(ops, transfers): per-level operators via Galerkin coarsening.
 
     For LRC operators the base stencil is coarsened by the triple product
     and the low-rank factor by column-wise restriction (B_c = P^T B_f).
+    Unstructured operators (GraphOperator) get an algebraic hierarchy via
+    smoothed aggregation (operators.aggregation).
     """
     is_lrc = isinstance(op, LRCOperator)
+    base0 = op.base if is_lrc else op
+    if not isinstance(base0, StencilOperator):
+        from parmgmc_tpu.operators.aggregation import aggregation_hierarchy
+
+        return aggregation_hierarchy(
+            op, n_levels=n_levels, coarsest_size=coarsest_size
+        )
+
     ops = [op]
+    transfers = []
     while True:
         cur = ops[-1]
         base = cur.base if is_lrc else cur
@@ -68,16 +78,18 @@ def build_hierarchy(op, n_levels=None, coarsest_size=128):
         if any(s <= 2 for s in gshape):
             break
         coarse_base = galerkin_coarse_operator(base)
+        tr = GeometricTransfer(fine_shape=tuple(gshape))
+        transfers.append(tr)
         if is_lrc:
             ndim = base.ndim
             cols = jnp.moveaxis(cur.B, -1, 0)
-            Bc = jnp.moveaxis(jax.vmap(restrict)(cols), 0, ndim)
+            Bc = jnp.moveaxis(jax.vmap(tr.restrict)(cols), 0, ndim)
             ops.append(
                 LRCOperator(base=coarse_base, B=Bc, sigma_inv=cur.sigma_inv)
             )
         else:
             ops.append(coarse_base)
-    return ops
+    return ops, tuple(transfers)
 
 
 @pytree_dataclass(meta=("n_pre", "n_post", "n_levels", "n_coarse"))
@@ -85,6 +97,7 @@ class MGMCSampler:
     """Stochastic V(n_pre, n_post)-cycle chain sampler for N(A^{-1}b, A^{-1})."""
 
     ops: tuple  # per-level operators, fine -> coarse
+    transfers: tuple  # transfer (P / P^T) per non-coarsest level
     smoothers: tuple  # GibbsSampler per non-coarsest level
     coarse: object  # coarsest-level sampler (Cholesky exact, or iterated Gibbs)
     n_pre: int
@@ -105,7 +118,9 @@ class MGMCSampler:
         n_coarse: int = 1,
         impl: str = "auto",
     ) -> "MGMCSampler":
-        ops = build_hierarchy(op, n_levels=n_levels, coarsest_size=coarsest_size)
+        ops, transfers = build_hierarchy(
+            op, n_levels=n_levels, coarsest_size=coarsest_size
+        )
         smoothers = tuple(
             GibbsSampler.create(o, omega=omega, sweep=sweep, impl=impl)
             for o in ops[:-1]
@@ -114,6 +129,7 @@ class MGMCSampler:
             coarse_sampler = CholeskySampler.create(ops[-1])
         return MGMCSampler(
             ops=tuple(ops),
+            transfers=transfers,
             smoothers=smoothers,
             coarse=coarse_sampler,
             n_pre=n_pre,
@@ -168,9 +184,9 @@ class MGMCSampler:
         x = jnp.zeros_like(bl)
         for i in range(self.n_pre):
             x = smoother.step_with_noise(x, bl, noises["pre"][i])
-        r = restrict(bl - op.apply(x))
+        r = self.transfers[l].restrict(bl - op.apply(x))
         xc = self._cycle(l + 1, r, noises["sub"])
-        x = x + prolong(xc, op.grid_shape)
+        x = x + self.transfers[l].prolong(xc)
         for i in range(self.n_post):
             x = smoother.step_with_noise(x, bl, noises["post"][i])
         return x
@@ -193,9 +209,9 @@ class MGMCSampler:
         for i in range(self.n_pre):
             key, x = smoother.step(key, x, bl)
         key, sub = jax.random.split(key)
-        r = restrict(bl - op.apply(x))
+        r = self.transfers[l].restrict(bl - op.apply(x))
         xc = self._cycle_keyed(l + 1, r, sub)
-        x = x + prolong(xc, op.grid_shape)
+        x = x + self.transfers[l].prolong(xc)
         for i in range(self.n_post):
             key, x = smoother.step(key, x, bl)
         return x

@@ -65,7 +65,7 @@ def _build_cholesky(op, cfg):
 def _build_mgmc(op, cfg):
     smoother_cfg = cfg.pop("smoother", {"type": "gibbs"})
     coarse_cfg = cfg.pop("coarse", {"type": "cholesky"})
-    ops = build_hierarchy(
+    ops, transfers = build_hierarchy(
         op,
         n_levels=cfg.pop("n_levels", None),
         coarsest_size=cfg.pop("coarsest_size", 128),
@@ -74,6 +74,7 @@ def _build_mgmc(op, cfg):
     coarse = build_sampler(ops[-1], dict(coarse_cfg))
     return MGMCSampler(
         ops=tuple(ops),
+        transfers=transfers,
         smoothers=smoothers,
         coarse=coarse,
         n_pre=cfg.pop("n_pre", 1),

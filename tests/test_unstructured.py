@@ -1,0 +1,148 @@
+"""Unstructured-mesh path: FEM assembly, graph operators, algebraic MGMC.
+
+Covers the reference's MS/DMPlex + GAMG capabilities (ms.c, pc_gamgmc.c
+algebraic mode, ex2/ex13 flows) on the TPU-native stack: Gmsh parsing,
+P1 assembly, colour-blocked ELL operators, smoothed-aggregation
+hierarchies — with the same machine-precision invariance oracles as the
+structured path.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parmgmc_tpu.chain import init_chain, sample_moments
+from parmgmc_tpu.models.mesh import (
+    assemble_p1,
+    matern_precision_mesh,
+    mesh_observation_mats,
+    read_gmsh,
+    refine,
+    unit_square_mesh,
+)
+from parmgmc_tpu.operators.graph import from_csr
+from parmgmc_tpu.operators.lrc import LRCOperator
+from parmgmc_tpu.samplers.gibbs import GibbsSampler
+from parmgmc_tpu.samplers.mgmc import MGMCSampler
+from parmgmc_tpu.testing import invariance_error
+
+WRENCH = "/root/reference/data/wrench.msh"
+TOL = 1e-10
+
+
+def small_mesh_op(n=6, kappa=2.0):
+    pts, cells = unit_square_mesh(n)
+    A = matern_precision_mesh(pts, cells, kappa)
+    return from_csr(A, dtype=jnp.float64), A, pts, cells
+
+
+def test_p1_assembly_identities():
+    pts, cells = unit_square_mesh(5)
+    K, M = assemble_p1(pts, cells)
+    # grad of constants vanishes; total mass = area of unit square
+    assert abs(K @ np.ones(K.shape[0])).max() < 1e-12
+    assert abs(M.sum() - 1.0) < 1e-12
+    # SPD-ness of kappa^2 M + K
+    A = matern_precision_mesh(pts, cells, 1.0).toarray()
+    assert np.linalg.eigvalsh(A).min() > 0
+
+
+def test_graph_operator_matches_csr():
+    op, A, _, _ = small_mesh_op()
+    perm = np.asarray(op.perm)
+    np.testing.assert_allclose(
+        np.asarray(op.to_dense()), A.toarray()[perm][:, perm], atol=1e-14
+    )
+    x = np.random.default_rng(0).standard_normal(op.n)
+    y = np.asarray(op.apply(jnp.asarray(x)))
+    np.testing.assert_allclose(y, (A.toarray()[perm][:, perm]) @ x, atol=1e-12)
+
+
+def test_coloring_is_valid():
+    op, _, _, _ = small_mesh_op()
+    cols = np.asarray(op.cols)
+    vals = np.asarray(op.vals)
+    for c in range(op.ncolors):
+        s, e = op.color_starts[c], op.color_starts[c + 1]
+        block_cols = cols[s:e]
+        block_vals = vals[s:e]
+        assert not ((block_cols >= s) & (block_cols < e) & (block_vals != 0)).any()
+
+
+def test_gibbs_invariance_on_mesh():
+    op, _, _, _ = small_mesh_op()
+    b = jnp.asarray(np.random.default_rng(1).standard_normal(op.n))
+    for sweep in ("forward", "symmetric"):
+        smp = GibbsSampler.create(op, omega=1.1, sweep=sweep)
+        me, ce = invariance_error(smp, op, b)
+        assert me < TOL and ce < TOL, (sweep, me, ce)
+
+
+def test_algebraic_mgmc_invariance():
+    op, _, _, _ = small_mesh_op()
+    b = jnp.asarray(np.random.default_rng(2).standard_normal(op.n))
+    smp = MGMCSampler.create(op, coarsest_size=12)
+    assert smp.n_levels >= 2
+    me, ce = invariance_error(smp, op, b)
+    assert me < TOL and ce < TOL, (me, ce)
+
+
+def test_algebraic_mgmc_lrc_invariance():
+    """Posterior MGMC on a mesh: LRC base + projected factors per level."""
+    op, _, pts, cells = small_mesh_op()
+    B, sigma_inv, f = mesh_observation_mats(
+        pts, cells, 0.01, [[0.3, 0.3], [0.7, 0.6]], [0.25, 0.2], [1.0, -0.5]
+    )
+    lrc = LRCOperator(
+        base=op,
+        B=jnp.asarray(B)[op.perm],
+        sigma_inv=jnp.asarray(sigma_inv),
+    )
+    b = jnp.asarray(f)[op.perm]
+    smp = MGMCSampler.create(lrc, coarsest_size=12)
+    me, ce = invariance_error(smp, lrc, b)
+    assert me < TOL and ce < TOL, (me, ce)
+
+
+def test_mesh_chain_statistics():
+    """End-to-end: algebraic MGMC chain mean matches the dense solve."""
+    op, A, _, _ = small_mesh_op(n=5, kappa=5.0)
+    b = jnp.ones((op.n,), jnp.float64)
+    perm = np.asarray(op.perm)
+    mu = np.linalg.solve(A.toarray()[perm][:, perm], np.ones(op.n))
+    smp = MGMCSampler.create(op, coarsest_size=10)
+    st = init_chain(smp, jax.random.PRNGKey(3))
+    _, mean, _ = jax.jit(
+        lambda s: sample_moments(smp, s, b, 40_000, burnin=200)
+    )(st)
+    rel = np.linalg.norm(np.asarray(mean) - mu) / np.linalg.norm(mu)
+    assert rel < 0.03, rel
+
+
+def test_refine_preserves_volume():
+    pts, cells = unit_square_mesh(3)
+    for _ in range(2):
+        pts, cells = refine(pts, cells)
+    _, M = assemble_p1(pts, cells)
+    assert abs(M.sum() - 1.0) < 1e-12
+
+
+@pytest.mark.skipif(not os.path.exists(WRENCH), reason="reference mesh absent")
+def test_wrench_mesh_end_to_end():
+    """The ex13 flagship geometry: parse, refine, assemble, sample."""
+    pts, cells = read_gmsh(WRENCH)
+    assert pts.shape[1] == 3 and cells.shape[1] == 4
+    pts, cells = refine(pts, cells)
+    _, M = assemble_p1(pts, cells)
+    assert M.sum() > 0
+    A = matern_precision_mesh(pts, cells, kappa=6.0)
+    op = from_csr(A, dtype=jnp.float64)
+    smp = MGMCSampler.create(op, coarsest_size=64)
+    assert smp.n_levels >= 2
+    b = jnp.zeros((op.n,), jnp.float64)
+    st = init_chain(smp, jax.random.PRNGKey(0))
+    st, x = jax.jit(lambda k, x, bb: smp.step(k, x, bb))(st.key, st.x, b)
+    assert bool(jnp.isfinite(x).all())
