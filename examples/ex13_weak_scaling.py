@@ -1,0 +1,88 @@
+"""ex13 analogue: weak-scaling benchmark over a device mesh.
+
+Reference: /root/reference/examples/ex13.py — wrench-mesh weak scaling
+(refinements grow with MPI ranks in {1,8,64,512}), printing DOFs, wall
+time per sample, IACT and time per independent sample.
+
+Here the scaling axis is TPU devices over a ``jax.sharding.Mesh``: the
+3D GMRF grows with the device count while the per-device block stays
+fixed, the same chain code runs sharded (GSPMD inserts the halo
+collectives), and we report the same metrics.  On a CPU host this runs
+on virtual devices (functional, not a performance measurement):
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python examples/ex13_weak_scaling.py --devices 1 2 4 8 --base 32
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parmgmc_tpu.chain import ChainState, sample_chain
+from parmgmc_tpu.diagnostics.iact import iact
+from parmgmc_tpu.models.problems import gmrf_3d
+from parmgmc_tpu.operators.stencil import shifted_laplace_fd
+from parmgmc_tpu.parallel.mesh import make_mesh, shard_sampler
+from parmgmc_tpu.samplers.mgmc import MGMCSampler
+
+
+def run_config(n_dev: int, base: int, n_samples: int, kappa: float):
+    shape = (base * n_dev, base, base)
+    op = shifted_laplace_fd(shape, kappa, dtype=jnp.float32)
+    smp = MGMCSampler.create(op, n_pre=1, n_post=1, coarsest_size=128, impl="lax")
+    b = jnp.zeros(shape, jnp.float32)
+    qoi = lambda x: jnp.mean(x)
+
+    if n_dev > 1:
+        mesh = make_mesh((n_dev,), axis_names=("x",))
+        smp, xsh = shard_sampler(smp, mesh, min_local=4, grid_axes=("x", None, None))
+        b = jax.device_put(b, xsh)
+        x0 = jax.device_put(jnp.zeros(shape, jnp.float32), xsh)
+    else:
+        x0 = jnp.zeros(shape, jnp.float32)
+
+    run = jax.jit(
+        lambda smp, s, bb: sample_chain(smp, s, bb, n_samples, extract=qoi)
+    )
+    st = ChainState(x=x0, key=jax.random.PRNGKey(0))
+    st, q = run(smp, st, b)
+    _ = float(jnp.sum(st.x))  # fence
+    t0 = time.perf_counter()
+    st, q = run(smp, st, b)
+    q = np.asarray(q)
+    wall = time.perf_counter() - t0
+
+    tau, valid = iact(q)
+    tau = max(float(tau), 1.0)
+    tps = wall / n_samples * 1000
+    print(
+        f"devices={n_dev:3d} dofs={np.prod(shape):>12,} "
+        f"time/sample={tps:8.2f} ms  IACT={tau:5.2f}{'' if valid else '*'} "
+        f"time/indep-sample={tau * tps:8.2f} ms"
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--base", type=int, default=32, help="per-device block edge")
+    ap.add_argument("--samples", type=int, default=64)
+    ap.add_argument("--kappa", type=float, default=1.0)
+    args = ap.parse_args()
+    avail = len(jax.devices())
+    for nd in args.devices:
+        if nd > avail:
+            print(f"devices={nd}: skipped (only {avail} available)")
+            continue
+        run_config(nd, args.base, args.samples, args.kappa)
+
+
+if __name__ == "__main__":
+    main()

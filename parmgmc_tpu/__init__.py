@@ -10,3 +10,14 @@ linear inverse problems — designed for TPU device meshes via
 """
 
 __version__ = "0.1.0"
+
+from parmgmc_tpu import chain, diagnostics, io, models, operators, parallel, profiling, samplers, solvers, testing  # noqa: E402,F401
+from parmgmc_tpu.chain import ChainState, init_chain, sample_chain, sample_moments  # noqa: E402,F401
+from parmgmc_tpu.operators.lrc import LRCOperator  # noqa: E402,F401
+from parmgmc_tpu.operators.stencil import StencilOperator, shifted_laplace_fd  # noqa: E402,F401
+from parmgmc_tpu.operators.graph import GraphOperator, from_csr  # noqa: E402,F401
+from parmgmc_tpu.samplers.cholesky import CholeskySampler  # noqa: E402,F401
+from parmgmc_tpu.samplers.gibbs import GibbsSampler  # noqa: E402,F401
+from parmgmc_tpu.samplers.mgmc import MGMCSampler  # noqa: E402,F401
+from parmgmc_tpu.samplers.woodbury import WoodburySampler  # noqa: E402,F401
+from parmgmc_tpu.samplers.registry import build_sampler  # noqa: E402,F401

@@ -89,3 +89,34 @@ def sor_sweep(
         xc = (1.0 - omega) * x + inv_diag * r
         x = jnp.where(masks[c], xc, x)
     return x
+
+
+def lexicographic_sweep(op, b, x, omega: float = 1.0, sweep: str = "forward"):
+    """Exact natural-order (lexicographic) Gauss-Seidel/SOR sweep.
+
+    The reference implements exact cross-rank lexicographic GS with a
+    dependency-driven MPI pipeline (``src/pc_parsor.c:703-878``); on TPU
+    a true sequential ordering serializes, so this O(n^2)-per-sweep scan
+    exists for parity/testing on small problems (iteration-operator
+    comparisons, ex5-style identities).  Production sweeps use the
+    multicolour formulation above — the same distribution family.
+    """
+    A = op.to_dense()
+    n = A.shape[0]
+    d = jnp.diagonal(A)
+    xf = x.reshape(n)
+    bf = b.reshape(n)
+    order = jnp.arange(n) if sweep == "forward" else jnp.arange(n - 1, -1, -1)
+    if sweep == "symmetric":
+        xf = lexicographic_sweep(op, b, x, omega, "forward").reshape(n)
+        return lexicographic_sweep(
+            op, bf.reshape(x.shape), xf.reshape(x.shape), omega, "backward"
+        )
+
+    def body(xv, i):
+        s = A[i] @ xv - d[i] * xv[i]
+        xi = (1.0 - omega) * xv[i] + (omega / d[i]) * (bf[i] - s)
+        return xv.at[i].set(xi), None
+
+    xf, _ = jax.lax.scan(body, xf, order)
+    return xf.reshape(x.shape)
