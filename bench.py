@@ -24,7 +24,7 @@ import numpy as np
 
 N = int(os.environ.get("BENCH_N", "256"))
 N_TIME = int(os.environ.get("BENCH_STEPS", "64"))
-N_IACT = int(os.environ.get("BENCH_IACT_STEPS", "1024"))
+N_IACT = int(os.environ.get("BENCH_IACT_STEPS", "2048"))
 DTYPE = jnp.float32
 
 # Estimated reference: 64-rank MPI CPU MGMC on 256^3, ~38 V-cycles/s
@@ -37,11 +37,13 @@ def main():
     from parmgmc_tpu.models.problems import gmrf_3d
     from parmgmc_tpu.samplers.mgmc import MGMCSampler
 
-    # V(1,1) with a deep hierarchy measured best on-chip: MGMC keeps
-    # tau = 1.0 even at one smoothing sweep per leg, so the cheapest
-    # cycle maximises ESS/sec (config sweep in BENCH_NOTES.md).
+    # Best measured config (sweep in BENCH_NOTES.md): plain-aggregation
+    # hierarchy (star stencils at every level -> fused Pallas sweeps with
+    # on-chip noise), V(1,0) cycles (tau ~= 1.07), deep coarsening.
     op = gmrf_3d(N, kappa=1.0, dtype=DTYPE)
-    sampler = MGMCSampler.create(op, n_pre=1, n_post=1, coarsest_size=128)
+    sampler = MGMCSampler.create(
+        op, n_pre=1, n_post=0, coarsest_size=128, coarsening="aggregate"
+    )
     b = jnp.zeros(op.grid_shape, DTYPE)
     qoi = lambda x: jnp.mean(x)
 
@@ -84,7 +86,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"ESS/sec, {N}^3 GMRF, MGMC V(1,1) chain, f32, 1 chip"
+                "metric": f"ESS/sec, {N}^3 GMRF, MGMC agg-V(1,0) chain, f32, 1 chip"
                 + ("" if valid else " (IACT window short)"),
                 "value": round(ess_per_sec, 2),
                 "unit": "ESS/sec",

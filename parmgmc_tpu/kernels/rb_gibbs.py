@@ -35,7 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_rb_gibbs_sweep"]
+__all__ = ["fused_rb_gibbs_sweep", "fused_rb_gibbs_sweep_fd"]
 
 _TWO_PI = 6.283185307179586
 
@@ -231,3 +231,240 @@ def fused_rb_gibbs_sweep(
         ],
         interpret=interpret,
     )(fscal, iscal, x, b, diag)
+
+
+# ---------------------------------------------------------------------------
+# v2: software-pipelined sweep (delay-by-one sliding window).
+#
+# Grid step i loads block i of x and b (pallas double-buffers the block
+# streams) and computes/writes tile j = i-1 using:
+#   * tail_x  — pre-sweep x rows jT-2, jT-1   (saved two steps ago),
+#   * xprev   — pre-sweep x block j           (saved last step),
+#   * x_cur[0:2] — pre-sweep x rows jT+T, jT+T+1,
+#   * tail_b/bprev/one fresh row — the stochastic RHS b~ rows jT-1..jT+T
+#     (noise generated ONCE per row, keyed by global row).
+# Every input byte is fetched exactly once per sweep; out block indices
+# repeat only consecutively (0,0,1,...,G-1) so each tile is flushed once.
+# The diagonal is recomputed in-kernel from the FD link-count formula
+# (diag = kappa^2 + hinv2 * #in-grid neighbours) — no diag traffic.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v2(
+    fscal_ref,  # SMEM (10,) f32: omega, c0lo..c2hi, noise_mult, kappa2, hinv2
+    iscal_ref,  # SMEM (3,) i32: seed, color0, step
+    x_ref,  # VMEM (T, N1, N2) block min(i, G-1)
+    b_ref,  # VMEM (T, N1, N2) block min(i, G-1)
+    o_ref,  # VMEM (T, N1, N2) block max(i-1, 0)
+    xw,  # scratch (T+4, N1, N2): pre/post-sweep window rows jT-2..jT+T+1
+    bw,  # scratch (T+2, N1, N2): b~ rows jT-1..jT+T
+    xprev,  # scratch (T, N1, N2): pre-sweep x of block j (saved last step)
+    bprev,  # scratch (T, N1, N2): b~ of block j (computed last step)
+    tail_x,  # scratch (2, N1, N2): pre-sweep x rows jT-2, jT-1
+    tail_b,  # scratch (1, N1, N2): b~ row jT-1
+    *,
+    T: int,
+    shape: tuple,
+    with_noise: bool,
+):
+    N0, N1, N2 = shape
+    G = N0 // T
+    i = pl.program_id(0)
+    j = i - 1  # tile being produced
+    jT = j * T
+
+    omega = fscal_ref[0]
+    noise_mult = fscal_ref[7]
+    kappa2 = fscal_ref[8]
+    hinv2 = fscal_ref[9]
+    seed = iscal_ref[0]
+    color0 = iscal_ref[1]
+    step = iscal_ref[2]
+    su = seed.astype(jnp.uint32)
+    stepu = step.astype(jnp.uint32)
+    nscale = jnp.sqrt((2.0 - omega) / omega) * noise_mult
+
+    jj = jax.lax.broadcasted_iota(jnp.int32, (N1, N2), 0)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (N1, N2), 1)
+    plane_par = (jj + kk) % 2
+    links_inplane = (
+        (jj >= 1).astype(jnp.float32)
+        + (jj <= N1 - 2).astype(jnp.float32)
+        + (kk >= 1).astype(jnp.float32)
+        + (kk <= N2 - 2).astype(jnp.float32)
+    )
+
+    c0lo, c0hi = fscal_ref[1], fscal_ref[2]
+    c1lo, c1hi = fscal_ref[3], fscal_ref[4]
+    c2lo, c2hi = fscal_ref[5], fscal_ref[6]
+
+    def eta_row(g):
+        """N(0,1) plane keyed by (seed, step, global row g)."""
+        gu = g.astype(jnp.uint32)
+        h = _mix(_mix(su, stepu), gu)
+        pltpu.prng_seed(h.astype(jnp.int32))
+        bits = pltpu.bitcast(pltpu.prng_random_bits((2, N1, N2)), jnp.uint32)
+        hi1 = pltpu.bitcast(bits[0] >> 9, jnp.int32)
+        hi2 = pltpu.bitcast(bits[1] >> 9, jnp.int32)
+        u1 = hi1.astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-7
+        u2 = hi2.astype(jnp.float32) * (1.0 / (1 << 23))
+        return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+
+    def diag_row(g):
+        up_ok = (g >= 1).astype(jnp.float32)
+        dn_ok = (g <= N0 - 2).astype(jnp.float32)
+        return kappa2 + hinv2 * (links_inplane + up_ok + dn_ok)
+
+    def btilde_row(braw, g):
+        if with_noise:
+            return braw + nscale * jnp.sqrt(diag_row(g)) * eta_row(g)
+        return braw
+
+    @pl.when(i > 0)
+    def _compute():
+        # ---- assemble contiguous windows (VMEM -> VMEM, cheap) ----------
+        xw[0] = tail_x[0]
+        xw[1] = tail_x[1]
+        xw[pl.ds(2, T)] = xprev[:]
+        xw[T + 2] = x_ref[0]
+        xw[T + 3] = x_ref[1]
+        bw[0] = tail_b[0]
+        bw[pl.ds(1, T)] = bprev[:]
+        bw[T + 1] = btilde_row(b_ref[0], jT + T)
+
+        def phase(color, lo, hi):
+            def row(l, _):
+                g = jT + (l - 2)  # xw row l <-> global jT - 2 + l
+                xl = xw[l]
+                up_ok = jnp.logical_and(l >= 1, g >= 1).astype(jnp.float32)
+                dn_ok = jnp.logical_and(
+                    l <= T + 2, g <= N0 - 2
+                ).astype(jnp.float32)
+                up = xw[jnp.maximum(l - 1, 0)]
+                dn = xw[jnp.minimum(l + 1, T + 3)]
+                sumn = (
+                    c0lo * up_ok * up
+                    + c0hi * dn_ok * dn
+                    + c1lo * _shift_plane(xl, 0, -1, N1)
+                    + c1hi * _shift_plane(xl, 0, 1, N1)
+                    + c2lo * _shift_plane(xl, 1, -1, N2)
+                    + c2hi * _shift_plane(xl, 1, 1, N2)
+                )
+                dg = diag_row(g)
+                upd = (1.0 - omega) * xl + (omega / dg) * (bw[l - 1] - sumn)
+                mask = ((g + plane_par) % 2) == color
+                xw[l] = jnp.where(mask, upd, xl)
+                return 0
+
+            jax.lax.fori_loop(lo, hi, row, 0, unroll=False)
+
+        # red rows jT-1..jT+T (xw 1..T+2), then black rows jT..jT+T-1
+        phase(color0, 1, T + 3)
+        phase(1 - color0, 2, T + 2)
+        o_ref[:] = xw[pl.ds(2, T)]
+
+    @pl.when(i == 0)
+    def _init():
+        # rows -2/-1 don't exist for tile 0; zero tails (garbage scratch
+        # would otherwise leak NaNs past the boundary masks)
+        tail_x[0] = jnp.zeros((N1, N2), jnp.float32)
+        tail_x[1] = jnp.zeros((N1, N2), jnp.float32)
+        tail_b[0] = jnp.zeros((N1, N2), jnp.float32)
+        o_ref[:] = x_ref[:]  # overwritten at step 1
+
+    # ---- slide (tails from the OLD pre-sweep xprev/bprev) ----------------
+    @pl.when(jnp.logical_and(i > 0, i < G))
+    def _slide_tails():
+        tail_x[0] = xprev[T - 2]
+        tail_x[1] = xprev[T - 1]
+        tail_b[0] = bprev[T - 1]
+
+    @pl.when(i < G)
+    def _slide():
+        xprev[:] = x_ref[:]
+
+        def brow_slide(r, _):
+            bprev[r] = btilde_row(b_ref[r], i * T + r)
+            return 0
+
+        jax.lax.fori_loop(0, T, brow_slide, 0, unroll=False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sweep", "tile", "interpret", "with_noise")
+)
+def fused_rb_gibbs_sweep_fd(
+    x,
+    b,
+    coeffs,  # (6,) f32
+    kappa2,
+    hinv2,
+    omega,
+    seed,
+    step,
+    noise_mult=1.0,
+    sweep: str = "forward",
+    tile: int = 4,
+    interpret: bool = False,
+    with_noise: bool = True,
+):
+    """Pipelined fused sweep for FD shifted-Laplace operators.
+
+    Like :func:`fused_rb_gibbs_sweep` but software-pipelined (every input
+    byte fetched once) and with the diagonal recomputed in-kernel from
+    the link-count formula — no diag HBM traffic.
+    """
+    N0, N1, N2 = x.shape
+    T = tile
+    while N0 % T or N0 < 2 * T:
+        T //= 2
+        if T == 0:
+            raise ValueError(f"grid dim {N0} unsupported")
+    G = N0 // T
+    color0 = 0 if sweep == "forward" else 1
+
+    fscal = jnp.concatenate(
+        [
+            jnp.asarray([omega], jnp.float32),
+            jnp.asarray(coeffs, jnp.float32).reshape(6),
+            jnp.asarray([noise_mult, kappa2, hinv2], jnp.float32),
+        ]
+    )
+    iscal = jnp.asarray([seed, color0, step], jnp.int32)
+
+    kern = functools.partial(
+        _kernel_v2, T=T, shape=(N0, N1, N2), with_noise=with_noise
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(G + 1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (T, N1, N2),
+                lambda i: (jnp.minimum(i, G - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (T, N1, N2),
+                lambda i: (jnp.minimum(i, G - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (T, N1, N2),
+            lambda i: (jnp.maximum(i - 1, 0), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((T + 4, N1, N2), jnp.float32),  # xw
+            pltpu.VMEM((T + 2, N1, N2), jnp.float32),  # bw
+            pltpu.VMEM((T, N1, N2), jnp.float32),  # xprev
+            pltpu.VMEM((T, N1, N2), jnp.float32),  # bprev
+            pltpu.VMEM((2, N1, N2), jnp.float32),  # tail_x
+            pltpu.VMEM((1, N1, N2), jnp.float32),  # tail_b
+        ],
+        interpret=interpret,
+    )(fscal, iscal, x, b)

@@ -22,6 +22,7 @@ contribute zero via zero padding, which exactly reproduces the
 
 from __future__ import annotations
 
+import functools
 import itertools
 import math
 from typing import Sequence
@@ -39,6 +40,7 @@ __all__ = [
     "restrict",
     "coarse_shape",
     "galerkin_coarse_operator",
+    "compress_stencil",
 ]
 
 
@@ -245,8 +247,8 @@ def restrict(xf: jax.Array) -> jax.Array:
     return y
 
 
-@jax.jit
-def galerkin_coarse_operator(op: StencilOperator) -> StencilOperator:
+@functools.partial(jax.jit, static_argnames=("transfer",))
+def galerkin_coarse_operator(op: StencilOperator, transfer=None) -> StencilOperator:
     """Exact Galerkin triple product A_c = P^T A P as a coarse stencil.
 
     T = P^T ∘ A ∘ P has stencil radius 1 on the coarse grid, so its
@@ -278,9 +280,15 @@ def galerkin_coarse_operator(op: StencilOperator) -> StencilOperator:
 
     pcode_j = phase_code(zero)
 
+    if transfer is None:
+        up = lambda v: prolong(v, fshape)
+        down = restrict
+    else:
+        up, down = transfer.prolong, transfer.restrict
+
     def T(p):
         comb = (pcode_j == p).astype(dtype)
-        return restrict(op.apply(prolong(comb, fshape)))
+        return down(op.apply(up(comb)))
 
     U = jax.lax.map(T, jnp.arange(nphase, dtype=jnp.int32))  # (4^d, *coarse)
 
@@ -301,3 +309,42 @@ def galerkin_coarse_operator(op: StencilOperator) -> StencilOperator:
     coeffs = tuple(extract(off) for off in offsets)
     diag = extract(zero)
     return StencilOperator(offsets=offsets, coeffs=coeffs, diag=diag)
+
+
+def compress_stencil(op: StencilOperator) -> StencilOperator:
+    """Drop identically-zero offsets and scalarise constant coefficient
+    fields (eager, setup-time).  Aggregation-coarsened star operators come
+    back star with constant interiors, unlocking the 2-colour sweep and
+    the fused kernels at coarse levels too."""
+    shape = op.grid_shape
+    offsets, coeffs = [], []
+    for off, c in zip(op.offsets, op.coeffs):
+        c = jnp.asarray(c)
+        if c.ndim == 0:
+            if float(c) != 0.0:
+                offsets.append(off)
+                coeffs.append(c)
+            continue
+        # Only entries whose neighbour is in-grid matter (zero padding
+        # nullifies the rest), so compare on the valid region only.
+        valid = np.ones(shape, dtype=bool)
+        for axis, o in enumerate(off):
+            idx = [slice(None)] * len(shape)
+            if o == -1:
+                idx[axis] = 0
+            elif o == 1:
+                idx[axis] = shape[axis] - 1
+            else:
+                continue
+            valid[tuple(idx)] = False
+        vals = np.asarray(c)[valid]
+        lo, hi = float(vals.min()), float(vals.max())
+        if lo == 0.0 and hi == 0.0:
+            continue
+        if lo == hi:
+            offsets.append(off)
+            coeffs.append(jnp.asarray(lo, dtype=c.dtype))
+        else:
+            offsets.append(off)
+            coeffs.append(c)
+    return StencilOperator(offsets=tuple(offsets), coeffs=tuple(coeffs), diag=op.diag)

@@ -36,6 +36,54 @@ class GeometricTransfer:
         return _st.restrict(xf)
 
 
+def _agg_up_1d(c, axis, nf):
+    c = jnp.moveaxis(c, axis, -1)
+    nc = c.shape[-1]
+    m = nf // 2
+    main = jnp.broadcast_to(c[..., :m, None], c.shape[:-1] + (m, 2)).reshape(
+        c.shape[:-1] + (2 * m,)
+    )
+    if nf % 2:  # odd: last coarse cell covers a single fine node
+        main = jnp.concatenate([main, c[..., m:]], axis=-1)
+    return jnp.moveaxis(main, -1, axis)
+
+
+def _agg_down_1d(f, axis):
+    f = jnp.moveaxis(f, axis, -1)
+    nf = f.shape[-1]
+    m = nf // 2
+    pair = f[..., : 2 * m].reshape(f.shape[:-1] + (m, 2)).sum(-1)
+    if nf % 2:
+        pair = jnp.concatenate([pair, f[..., 2 * m :]], axis=-1)
+    return jnp.moveaxis(pair, -1, axis)
+
+
+@pytree_dataclass(meta=("fine_shape",))
+class AggregateTransfer:
+    """Plain (piecewise-constant) aggregation over 2^d cell blocks.
+
+    P sums/injects over aggregates; crucially, the Galerkin product
+    P^T A P of a STAR stencil stays a star stencil (a 2-block offset in
+    two axes cannot be bridged by a radius-1 fine edge), so every level
+    of an aggregation hierarchy keeps the cheap 2-colour sweep — the
+    structured-grid analogue of GAMG's unsmoothed aggregation.
+    """
+
+    fine_shape: tuple
+
+    def prolong(self, xc):
+        y = xc
+        for axis, nf in enumerate(self.fine_shape):
+            y = _agg_up_1d(y, axis, nf)
+        return y
+
+    def restrict(self, xf):
+        y = xf
+        for axis in range(xf.ndim):
+            y = _agg_down_1d(y, axis)
+        return y
+
+
 @pytree_dataclass
 class SparseTransfer:
     """P (nf x nc) stored as row-gather ELL in both orientations."""

@@ -72,6 +72,30 @@ def _op_sweep(base, b, x, omega, sweep):
     return sor_sweep(base, b, x, omega, sweep)
 
 
+def _detect_fd(base) -> "jax.Array | None":
+    """(kappa2, hinv2) if diag == kappa2 + hinv2 * #in-grid-links and all
+    off-diagonals equal -hinv2 (the shifted-Laplace FD pattern); else None.
+    Enables the pipelined kernel variant that recomputes the diagonal
+    on-chip instead of streaming it from HBM."""
+    c0 = base.coeffs[0]
+    if not all(
+        bool(jnp.allclose(c, c0)) for c in base.coeffs[1:]
+    ):
+        return None
+    hinv2 = -c0
+    d = base.ndim
+    shape = base.grid_shape
+    links = jnp.zeros(shape, base.dtype)
+    for ax in range(d):
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, ax)
+        links = links + (i >= 1) + (i <= shape[ax] - 2)
+    kappa2 = base.diag.reshape(-1)[base.n // 2] - hinv2 * links.reshape(-1)[base.n // 2]
+    expected = kappa2 + hinv2 * links
+    if bool(jnp.allclose(base.diag, expected, rtol=1e-6)):
+        return jnp.stack([kappa2.astype(jnp.float32), hinv2.astype(jnp.float32)])
+    return None
+
+
 def _fused_eligible(base) -> bool:
     """Can the Pallas fused red/black sweep kernel serve this operator?"""
     return (
@@ -109,6 +133,7 @@ class GibbsSampler:
     sqrt_sigma_inv: Union[jax.Array, None]
     Bb_fw: Union[jax.Array, None]
     Bb_bw: Union[jax.Array, None]
+    fd_params: Union[jax.Array, None] = None  # (kappa2, hinv2) when FD-like
     impl: str = "lax"
 
     # -- construction ------------------------------------------------------
@@ -126,9 +151,14 @@ class GibbsSampler:
         else:
             base = op
             B = sqrt_sigma_inv = Bb_fw = Bb_bw = None
+        fd_params = None
         if impl == "auto":
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
-            impl = "fused" if (on_tpu and _fused_eligible(base)) else "lax"
+            if on_tpu and _fused_eligible(base):
+                fd_params = _detect_fd(base)
+                impl = "fused_fd" if fd_params is not None else "fused"
+            else:
+                impl = "lax"
         om = jnp.asarray(omega, dtype=base.dtype)
         noise_scale = jnp.sqrt((2.0 - om) / om) * jnp.sqrt(base.diag)
         return GibbsSampler(
@@ -140,6 +170,7 @@ class GibbsSampler:
             sqrt_sigma_inv=sqrt_sigma_inv,
             Bb_fw=Bb_fw,
             Bb_bw=Bb_bw,
+            fd_params=fd_params,
             impl=impl,
         )
 
@@ -208,7 +239,10 @@ class GibbsSampler:
         return jnp.stack([m[o].astype(jnp.float32) for o in order])
 
     def _fused_step(self, key, x, b):
-        from parmgmc_tpu.kernels.rb_gibbs import fused_rb_gibbs_sweep
+        from parmgmc_tpu.kernels.rb_gibbs import (
+            fused_rb_gibbs_sweep,
+            fused_rb_gibbs_sweep_fd,
+        )
 
         key, k1, k2 = jax.random.split(key, 3)
         # 62 bits of per-step keying (the kernel mixes seed, step, row).
@@ -219,20 +253,33 @@ class GibbsSampler:
             ["forward", "backward"] if self.sweep == "symmetric" else [self.sweep]
         )
         for i, d in enumerate(dirs):
-            x = fused_rb_gibbs_sweep(
-                x,
-                b,
-                self.base.diag,
-                coeffs,
-                self.omega.astype(jnp.float32),
-                seed,
-                extra * 2 + i,
-                sweep=d,
-            )
+            if self.impl == "fused_fd":
+                x = fused_rb_gibbs_sweep_fd(
+                    x,
+                    b,
+                    coeffs,
+                    self.fd_params[0],
+                    self.fd_params[1],
+                    self.omega.astype(jnp.float32),
+                    seed,
+                    extra * 2 + i,
+                    sweep=d,
+                )
+            else:
+                x = fused_rb_gibbs_sweep(
+                    x,
+                    b,
+                    self.base.diag,
+                    coeffs,
+                    self.omega.astype(jnp.float32),
+                    seed,
+                    extra * 2 + i,
+                    sweep=d,
+                )
         return key, x
 
     def step(self, key, x, b, aux=None):
-        if self.impl == "fused" and not self.is_lrc:
+        if self.impl in ("fused", "fused_fd") and not self.is_lrc:
             return self._fused_step(key, x, b)
         key, sub = jax.random.split(key)
         noises = _draw(sub, self.noise_shapes(), x.dtype)

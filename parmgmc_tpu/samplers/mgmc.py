@@ -39,16 +39,17 @@ from parmgmc_tpu.operators.lrc import LRCOperator
 from parmgmc_tpu.operators.stencil import (
     StencilOperator,
     coarse_shape,
+    compress_stencil,
     galerkin_coarse_operator,
 )
-from parmgmc_tpu.operators.transfer import GeometricTransfer
+from parmgmc_tpu.operators.transfer import AggregateTransfer, GeometricTransfer
 from parmgmc_tpu.samplers.cholesky import CholeskySampler
 from parmgmc_tpu.samplers.gibbs import GibbsSampler, _draw
 
 __all__ = ["MGMCSampler", "build_hierarchy"]
 
 
-def build_hierarchy(op, n_levels=None, coarsest_size=128):
+def build_hierarchy(op, n_levels=None, coarsest_size=128, coarsening="linear"):
     """(ops, transfers): per-level operators via Galerkin coarsening.
 
     For LRC operators the base stencil is coarsened by the triple product
@@ -77,8 +78,11 @@ def build_hierarchy(op, n_levels=None, coarsest_size=128):
             break
         if any(s <= 2 for s in gshape):
             break
-        coarse_base = galerkin_coarse_operator(base)
-        tr = GeometricTransfer(fine_shape=tuple(gshape))
+        if coarsening == "aggregate":
+            tr = AggregateTransfer(fine_shape=tuple(gshape))
+        else:
+            tr = GeometricTransfer(fine_shape=tuple(gshape))
+        coarse_base = compress_stencil(galerkin_coarse_operator(base, tr))
         transfers.append(tr)
         if is_lrc:
             ndim = base.ndim
@@ -117,9 +121,13 @@ class MGMCSampler:
         coarse_sampler=None,
         n_coarse: int = 1,
         impl: str = "auto",
+        coarsening: str = "linear",
     ) -> "MGMCSampler":
         ops, transfers = build_hierarchy(
-            op, n_levels=n_levels, coarsest_size=coarsest_size
+            op,
+            n_levels=n_levels,
+            coarsest_size=coarsest_size,
+            coarsening=coarsening,
         )
         smoothers = tuple(
             GibbsSampler.create(o, omega=omega, sweep=sweep, impl=impl)

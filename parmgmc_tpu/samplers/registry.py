@@ -69,6 +69,7 @@ def _build_mgmc(op, cfg):
         op,
         n_levels=cfg.pop("n_levels", None),
         coarsest_size=cfg.pop("coarsest_size", 128),
+        coarsening=cfg.pop("coarsening", "linear"),
     )
     smoothers = tuple(build_sampler(o, dict(smoother_cfg)) for o in ops[:-1])
     coarse = build_sampler(ops[-1], dict(coarse_cfg))

@@ -147,3 +147,35 @@ def test_woodbury_exact_with_cholesky_inner():
     wb = WoodburySampler.create(op, inner)
     mean_err, cov_err = invariance_error(wb, op, rhs())
     assert mean_err < TOL and cov_err < TOL
+
+
+def test_mgmc_aggregation_invariance():
+    """Plain-aggregation hierarchy: star stencils at every level, exact
+    Galerkin, exact invariance (the flagship bench configuration)."""
+    op = make_op()
+    for pre, post in [(1, 1), (1, 0)]:
+        smp = MGMCSampler.create(
+            op, n_levels=2, n_pre=pre, n_post=post, coarsening="aggregate"
+        )
+        mean_err, cov_err = invariance_error(smp, op, rhs())
+        assert mean_err < TOL and cov_err < TOL, (pre, post, mean_err, cov_err)
+
+
+def test_aggregation_galerkin_exact():
+    from parmgmc_tpu.operators.stencil import (
+        compress_stencil,
+        galerkin_coarse_operator,
+    )
+    from parmgmc_tpu.operators.transfer import AggregateTransfer
+
+    op = make_op()
+    tr = AggregateTransfer(fine_shape=GRID)
+    opc = compress_stencil(galerkin_coarse_operator(op, tr))
+    assert opc.is_star()
+    nc = opc.n
+    eye = jnp.eye(nc, dtype=jnp.float64).reshape(nc, *opc.grid_shape)
+    P = jax.vmap(tr.prolong)(eye).reshape(nc, -1).T
+    Ac_ref = P.T @ np.asarray(op.to_dense()) @ P
+    np.testing.assert_allclose(
+        np.asarray(opc.to_dense()), np.asarray(Ac_ref), atol=1e-11
+    )
