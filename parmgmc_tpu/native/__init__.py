@@ -1,0 +1,112 @@
+"""ctypes loader for the native graph-setup library.
+
+Compiles ``graph_setup.cpp`` on first use (cached as a .so next to the
+source); every entry point has a pure-Python fallback so the package
+works without a toolchain.  ``lib()`` returns None when unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "graph_setup.cpp")
+_SO = os.path.join(_DIR, "libgraph_setup.so")
+
+
+def lib():
+    """The loaded ctypes library, or None if unavailable."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+                _SRC
+            ):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                    check=True,
+                    capture_output=True,
+                )
+            L = ctypes.CDLL(_SO)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            f64p = ctypes.POINTER(ctypes.c_double)
+            L.pmg_greedy_coloring.restype = ctypes.c_int32
+            L.pmg_greedy_coloring.argtypes = [ctypes.c_int64, i64p, i32p, i32p]
+            L.pmg_aggregate.restype = ctypes.c_int64
+            L.pmg_aggregate.argtypes = [ctypes.c_int64, i64p, i32p, i64p]
+            L.pmg_ell_pack.restype = None
+            L.pmg_ell_pack.argtypes = [
+                ctypes.c_int64,
+                ctypes.c_int64,
+                i64p,
+                i32p,
+                f64p,
+                f64p,
+                i32p,
+            ]
+            _LIB = L
+        except Exception:
+            _LIB = None
+        return _LIB
+
+
+def _ptr(a, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def greedy_coloring_native(indptr, indices, n):
+    L = lib()
+    if L is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    colors = np.empty(n, dtype=np.int32)
+    L.pmg_greedy_coloring(
+        n, _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+        _ptr(colors, ctypes.c_int32),
+    )
+    return colors
+
+
+def aggregate_native(indptr, indices, n):
+    L = lib()
+    if L is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    agg = np.empty(n, dtype=np.int64)
+    n_agg = L.pmg_aggregate(
+        n, _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+        _ptr(agg, ctypes.c_int64),
+    )
+    return agg, int(n_agg)
+
+
+def ell_pack_native(indptr, indices, data, n, w):
+    L = lib()
+    if L is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    vals = np.empty((n, w), dtype=np.float64)
+    cols = np.empty((n, w), dtype=np.int32)
+    L.pmg_ell_pack(
+        n, w, _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+        _ptr(data, ctypes.c_double), _ptr(vals, ctypes.c_double),
+        _ptr(cols, ctypes.c_int32),
+    )
+    return vals, cols

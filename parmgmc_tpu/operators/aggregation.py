@@ -49,7 +49,13 @@ def _strength_graph(A, theta):
 
 def _aggregate(S):
     """Greedy aggregation: roots = maximal independent set, then attach
-    neighbours; stragglers join the nearest aggregate."""
+    neighbours; stragglers join the nearest aggregate.  Uses the native
+    C++ routine when available (identical output)."""
+    from parmgmc_tpu.native import aggregate_native
+
+    nat = aggregate_native(S.indptr, S.indices, S.shape[0])
+    if nat is not None:
+        return nat
     n = S.shape[0]
     agg = np.full(n, -1, dtype=np.int64)
     n_agg = 0

@@ -31,7 +31,16 @@ __all__ = ["GraphOperator", "greedy_coloring", "from_csr"]
 
 
 def greedy_coloring(indptr, indices, n) -> np.ndarray:
-    """Greedy distance-1 colouring (natural order) of a symmetric graph."""
+    """Greedy distance-1 colouring (natural order) of a symmetric graph.
+
+    Uses the native C++ routine when available (parmgmc_tpu.native);
+    the Python fallback produces bit-identical colours.
+    """
+    from parmgmc_tpu.native import greedy_coloring_native
+
+    nat = greedy_coloring_native(indptr, indices, n)
+    if nat is not None:
+        return nat
     colors = np.full(n, -1, dtype=np.int32)
     for i in range(n):
         nb = indices[indptr[i] : indptr[i + 1]]
@@ -140,13 +149,19 @@ def from_csr(A_csr, dtype=jnp.float64) -> GraphOperator:
     Aoff.eliminate_zeros()
     Aoff = Aoff.tocsr()
     w = max(1, int(np.diff(Aoff.indptr).max()))
-    vals = np.zeros((n, w))
-    cols = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, w))
-    for i in range(n):
-        lo, hi = Aoff.indptr[i], Aoff.indptr[i + 1]
-        k = hi - lo
-        vals[i, :k] = Aoff.data[lo:hi]
-        cols[i, :k] = Aoff.indices[lo:hi]
+    from parmgmc_tpu.native import ell_pack_native
+
+    packed = ell_pack_native(Aoff.indptr, Aoff.indices, Aoff.data, n, w)
+    if packed is not None:
+        vals, cols = packed
+    else:
+        vals = np.zeros((n, w))
+        cols = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, w))
+        for i in range(n):
+            lo, hi = Aoff.indptr[i], Aoff.indptr[i + 1]
+            k = hi - lo
+            vals[i, :k] = Aoff.data[lo:hi]
+            cols[i, :k] = Aoff.indices[lo:hi]
 
     return GraphOperator(
         vals=jnp.asarray(vals, dtype=dtype),

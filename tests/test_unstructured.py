@@ -146,3 +146,72 @@ def test_wrench_mesh_end_to_end():
     st = init_chain(smp, jax.random.PRNGKey(0))
     st, x = jax.jit(lambda k, x, bb: smp.step(k, x, bb))(st.key, st.x, b)
     assert bool(jnp.isfinite(x).all())
+
+
+def test_native_graph_setup_matches_python():
+    """The C++ setup kernels (coloring/aggregation/ELL) must be
+    bit-identical to the Python fallbacks."""
+    import scipy.sparse as sp
+
+    from parmgmc_tpu import native
+
+    if native.lib() is None:
+        pytest.skip("no native toolchain")
+    pts, cells = unit_square_mesh(8)
+    A = matern_precision_mesh(pts, cells, 2.0)
+    Ao = (A - sp.diags(A.diagonal())).tocsr()
+    Ao.eliminate_zeros()
+    n = A.shape[0]
+
+    # coloring
+    c_nat = native.greedy_coloring_native(Ao.indptr, Ao.indices, n)
+    colors = np.full(n, -1, dtype=np.int32)
+    for i in range(n):
+        nb = Ao.indices[Ao.indptr[i] : Ao.indptr[i + 1]]
+        used = set(colors[j] for j in nb if colors[j] >= 0)
+        c = 0
+        while c in used:
+            c += 1
+        colors[i] = c
+    np.testing.assert_array_equal(c_nat, colors)
+
+    # ELL pack
+    w = int(np.diff(Ao.indptr).max())
+    vals_n, cols_n = native.ell_pack_native(Ao.indptr, Ao.indices, Ao.data, n, w)
+    vals_p = np.zeros((n, w))
+    cols_p = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, w))
+    for i in range(n):
+        lo, hi = Ao.indptr[i], Ao.indptr[i + 1]
+        k = hi - lo
+        vals_p[i, :k] = Ao.data[lo:hi]
+        cols_p[i, :k] = Ao.indices[lo:hi]
+    np.testing.assert_array_equal(vals_n, vals_p)
+    np.testing.assert_array_equal(cols_n, cols_p)
+
+    # aggregation
+    from parmgmc_tpu.operators.aggregation import _strength_graph
+
+    S = _strength_graph(A, 0.02)
+    agg_n, na_n = native.aggregate_native(S.indptr, S.indices, n)
+    agg_p = np.full(n, -1, dtype=np.int64)
+    n_agg = 0
+    for i in range(n):
+        if agg_p[i] >= 0:
+            continue
+        nb = S.indices[S.indptr[i] : S.indptr[i + 1]]
+        if np.all(agg_p[nb] < 0):
+            agg_p[i] = n_agg
+            agg_p[nb] = n_agg
+            n_agg += 1
+    for i in range(n):
+        if agg_p[i] >= 0:
+            continue
+        nb = S.indices[S.indptr[i] : S.indptr[i + 1]]
+        hit = nb[agg_p[nb] >= 0]
+        if hit.size:
+            agg_p[i] = agg_p[hit[0]]
+        else:
+            agg_p[i] = n_agg
+            n_agg += 1
+    np.testing.assert_array_equal(agg_n, agg_p)
+    assert na_n == n_agg
