@@ -59,3 +59,57 @@ def gelman_rubin(vals: jax.Array) -> jax.Array:
     B = n / (chains - 1.0) * jnp.sum((means - mean) ** 2)
     W = jnp.mean(jnp.sum((vals - means[:, None]) ** 2, axis=1) / (n - 1.0))
     return ((n - 1.0) / n * W + B / n) / W
+
+
+def sample_until_converged(
+    sampler,
+    b,
+    qoi,
+    n_chains: int = 8,
+    check_every: int = 50,
+    rhat_tol: float = 1.05,
+    max_steps: int = 100_000,
+    overdispersion: float = 1e3,
+    seed: int = 0,
+):
+    """Run overdispersed chains until Gelman-Rubin R-hat < tol (ex7 flow).
+
+    Returns (qoi_trace (chains, steps), n_steps, rhat).  Chains run
+    vmapped on device; convergence is checked on host every
+    ``check_every`` steps on the accumulated scalar QOI traces
+    (examples/ex7.c:196-218 semantics with overdispersed inits,
+    ex7.c:170-177).
+    """
+    import numpy as np
+
+    from parmgmc_tpu.chain import ChainState, sample_chain
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_chains)
+
+    def init_one(key):
+        kinit, kchain = jax.random.split(key)
+        x0 = overdispersion * jax.random.normal(
+            kinit, sampler.grid_shape, dtype=sampler.dtype
+        )
+        return ChainState(x=x0, key=kchain)
+
+    states = jax.vmap(init_one)(keys)
+    run = jax.jit(
+        jax.vmap(
+            lambda smp, st, bb: sample_chain(smp, st, bb, check_every, extract=qoi),
+            in_axes=(None, 0, None),
+        )
+    )
+
+    traces = []
+    steps = 0
+    rhat = float("inf")
+    while steps < max_steps:
+        states, q = run(sampler, states, b)
+        traces.append(np.asarray(q))
+        steps += check_every
+        vals = jnp.asarray(np.concatenate(traces, axis=1))
+        rhat = float(gelman_rubin(vals))
+        if rhat < rhat_tol:
+            break
+    return np.concatenate(traces, axis=1), steps, rhat

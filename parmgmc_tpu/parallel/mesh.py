@@ -93,6 +93,27 @@ def shard_array(x, mesh: Mesh, grid_specs):
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
+def _force_lax_impl(sampler):
+    """Pallas fused kernels assume whole-array semantics and do not
+    partition under GSPMD; sharded samplers must use the lax sweeps
+    (whose stencil shifts become collective-permute halo exchanges)."""
+    import dataclasses
+
+    def fix(obj):
+        if hasattr(obj, "impl") and getattr(obj, "impl", "lax") != "lax":
+            obj = dataclasses.replace(obj, impl="lax")
+        for f in ("smoothers",):
+            if hasattr(obj, f):
+                obj = dataclasses.replace(
+                    obj, **{f: tuple(fix(s) for s in getattr(obj, f))}
+                )
+        if hasattr(obj, "sampler"):  # Woodbury wrapper
+            obj = dataclasses.replace(obj, sampler=fix(obj.sampler))
+        return obj
+
+    return fix(sampler)
+
+
 def shard_sampler(sampler, mesh: Mesh, min_local: int = 4, grid_axes=None):
     """Device-put every array leaf of the sampler with its mesh sharding.
 
@@ -101,6 +122,7 @@ def shard_sampler(sampler, mesh: Mesh, min_local: int = 4, grid_axes=None):
     names the mesh axis for each grid dimension (None = unsharded dim),
     letting other mesh axes carry chain/batch parallelism.
     """
+    sampler = _force_lax_impl(sampler)
     grid_specs = level_specs(
         _collect_grid_shapes(sampler), mesh, min_local, grid_axes
     )

@@ -107,6 +107,9 @@ def _fused_eligible(base) -> bool:
         and base.grid_shape[0] % 2 == 0
         and base.grid_shape[0] >= 8
         and base.grid_shape[2] % 128 == 0
+        # kernel scratch is whole (N1, N2) planes; beyond 256^2 the
+        # sliding window exceeds VMEM (2D tiling is a later round)
+        and base.grid_shape[1] * base.grid_shape[2] <= 256 * 256
     )
 
 

@@ -58,3 +58,21 @@ def test_ess_batched():
     assert valids.all()
     e = ess(xs)
     assert np.all(e > 10_000)
+
+
+def test_sample_until_converged():
+    """ex7 runtime loop: overdispersed chains until R-hat < 1.05."""
+    import jax.numpy as jnp
+
+    from parmgmc_tpu.diagnostics.stats import sample_until_converged
+    from parmgmc_tpu.operators.stencil import shifted_laplace_fd
+    from parmgmc_tpu.samplers.mgmc import MGMCSampler
+
+    op = shifted_laplace_fd((9, 9), 10.0, dtype=jnp.float64)
+    smp = MGMCSampler.create(op, n_levels=2)
+    b = jnp.ones(op.grid_shape, jnp.float64)
+    trace, steps, rhat = sample_until_converged(
+        smp, b, lambda x: jnp.mean(x), n_chains=8, check_every=50, max_steps=5000
+    )
+    assert rhat < 1.05, rhat
+    assert trace.shape[0] == 8 and trace.shape[1] == steps
