@@ -162,6 +162,14 @@ class GibbsSampler:
                 impl = "fused_fd" if fd_params is not None else "fused"
             else:
                 impl = "lax"
+        elif impl in ("fused", "fused_fd"):
+            # explicit request still requires a kernel-compatible operator
+            if not _fused_eligible(base):
+                impl = "lax"
+            elif impl == "fused_fd":
+                fd_params = _detect_fd(base)
+                if fd_params is None:
+                    impl = "fused"
         om = jnp.asarray(omega, dtype=base.dtype)
         noise_scale = jnp.sqrt((2.0 - om) / om) * jnp.sqrt(base.diag)
         return GibbsSampler(

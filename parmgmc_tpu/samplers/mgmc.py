@@ -229,7 +229,10 @@ class MGMCSampler:
 
     def step(self, key, x, b, aux=None):
         key, sub = jax.random.split(key)
-        if any(getattr(s, "impl", "lax") == "fused" for s in self.smoothers):
+        if any(
+            getattr(s, "impl", "lax") in ("fused", "fused_fd")
+            for s in self.smoothers
+        ):
             r = b - self.fine_op.apply(x)
             return key, x + self._cycle_keyed(0, r, sub)
         noises = _draw(sub, self.noise_shapes(), x.dtype)
