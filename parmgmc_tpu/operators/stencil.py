@@ -44,9 +44,11 @@ __all__ = [
 ]
 
 
-def _shifted(xp: jax.Array, off: Sequence[int], shape: Sequence[int]) -> jax.Array:
-    """View of the 1-padded array ``xp`` holding x[i + off] at index i."""
-    sl = tuple(slice(1 + o, 1 + o + s) for o, s in zip(off, shape))
+def _shifted(
+    xp: jax.Array, off: Sequence[int], shape: Sequence[int], pad: int = 1
+) -> jax.Array:
+    """View of the pad-padded array ``xp`` holding x[i + off] at index i."""
+    sl = tuple(slice(pad + o, pad + o + s) for o, s in zip(off, shape))
     return xp[sl]
 
 
@@ -79,6 +81,11 @@ class StencilOperator:
         """True if every offset touches exactly one coordinate (5/7-point)."""
         return all(sum(o != 0 for o in off) == 1 for off in self.offsets)
 
+    @property
+    def radius(self) -> int:
+        """Maximum offset magnitude (1 for 5/7/9/27-point stencils)."""
+        return max((max(abs(o) for o in off) for off in self.offsets), default=1)
+
     # -- linear algebra ----------------------------------------------------
     def apply(self, x: jax.Array) -> jax.Array:
         """y = A x for a grid-shaped x."""
@@ -87,10 +94,11 @@ class StencilOperator:
     def offdiag_apply(self, x: jax.Array) -> jax.Array:
         """y = (A - D) x — the neighbour contributions only."""
         shape = self.grid_shape
-        xp = jnp.pad(x, 1)
+        r = self.radius
+        xp = jnp.pad(x, r)
         y = jnp.zeros_like(x)
         for off, c in zip(self.offsets, self.coeffs):
-            y = y + c * _shifted(xp, off, shape)
+            y = y + c * _shifted(xp, off, shape, pad=r)
         return y
 
     def to_dense(self) -> jax.Array:
@@ -266,16 +274,20 @@ def galerkin_coarse_operator(op: StencilOperator, transfer=None) -> StencilOpera
     d = len(fshape)
     dtype = op.dtype
     zero = (0,) * d
-    nphase = 4**d
+    # coarse radius: fine path length is P(1) + A(radius) + R(1) = r+2
+    # fine units = 2*rc coarse units; comb spacing must exceed 2*rc.
+    rc = (op.radius + 2) // 2
+    spacing = 2 * rc + 2
+    nphase = spacing**d
 
-    # Phase code of each coarse node: base-4 digits of (j mod 4).  Built
-    # from iotas inside the trace (a 128^3 host constant would bloat the
+    # Phase code of each coarse node (mod `spacing` per axis), built from
+    # iotas inside the trace (a 128^3 host constant would bloat the
     # executable past remote-compile limits).
     def phase_code(off):
         code = jnp.zeros(cshape, dtype=jnp.int32)
         for ax in range(d):
             i = jax.lax.broadcasted_iota(jnp.int32, cshape, ax)
-            code = code * 4 + ((i + off[ax]) % 4)
+            code = code * spacing + ((i + off[ax]) % spacing)
         return code
 
     pcode_j = phase_code(zero)
@@ -292,17 +304,16 @@ def galerkin_coarse_operator(op: StencilOperator, transfer=None) -> StencilOpera
 
     U = jax.lax.map(T, jnp.arange(nphase, dtype=jnp.int32))  # (4^d, *coarse)
 
+    rng = tuple(range(-rc, rc + 1))
     offsets = tuple(
-        off
-        for off in itertools.product((-1, 0, 1), repeat=d)
-        if any(o != 0 for o in off)
+        off for off in itertools.product(rng, repeat=d) if any(o != 0 for o in off)
     )
 
     def extract(off):
         # Row j's coefficient at offset off lives in the comb response of
-        # phase (j + off) mod 4 (per axis) at position j; out-of-grid
+        # phase (j + off) mod spacing (per axis) at position j; out-of-grid
         # neighbours yield 0 automatically (no comb point of that phase
-        # within radius 1 of j).
+        # within radius rc of j).
         sel = phase_code(off)[None]
         return jnp.take_along_axis(U, sel, axis=0)[0]
 
@@ -330,10 +341,10 @@ def compress_stencil(op: StencilOperator) -> StencilOperator:
         valid = np.ones(shape, dtype=bool)
         for axis, o in enumerate(off):
             idx = [slice(None)] * len(shape)
-            if o == -1:
-                idx[axis] = 0
-            elif o == 1:
-                idx[axis] = shape[axis] - 1
+            if o < 0:
+                idx[axis] = slice(0, -o)
+            elif o > 0:
+                idx[axis] = slice(shape[axis] - o, shape[axis])
             else:
                 continue
             valid[tuple(idx)] = False

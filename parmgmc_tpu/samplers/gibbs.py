@@ -102,6 +102,7 @@ def _fused_eligible(base) -> bool:
         isinstance(base, StencilOperator)
         and base.ndim == 3
         and base.is_star()
+        and base.radius == 1
         and all(getattr(c, "ndim", 1) == 0 for c in base.coeffs)
         and base.dtype == jnp.float32
         and base.grid_shape[0] % 2 == 0

@@ -33,32 +33,37 @@ __all__ = ["color_masks", "num_colors", "sor_sweep"]
 
 
 def num_colors(op: StencilOperator) -> int:
-    return 2 if op.is_star() else 2 ** op.ndim
+    r = op.radius
+    return (r + 1) if op.is_star() else (r + 1) ** op.ndim
 
 
-def color_masks(grid_shape, ncolors: int):
+def color_masks(grid_shape, ncolors: int, op: StencilOperator = None):
     """Boolean masks, one per color, tiling the grid.
 
     Built from broadcasted iotas *inside* the trace (never as host
     constants — a 256^3 constant mask would bloat the executable), so XLA
     fuses the mask computation into the update.
 
-    ncolors == 2: color = (i0 + i1 + ...) % 2 (red/black).
-    ncolors == 2^d: color index = binary code of per-coordinate parities.
+    Star stencils of radius r: color = (sum of coords) mod (r+1)
+    (red/black for r=1).  Dense stencils: base-(r+1) code of the
+    per-coordinate residues — a valid distance-type coloring for any
+    stencil contained in {-r..r}^d.
     """
     d = len(grid_shape)
-    if ncolors == 2:
+    r = op.radius if op is not None else 1
+    base = r + 1
+    if ncolors == base:  # star coloring
         code = sum(
             jax.lax.broadcasted_iota(jnp.int32, grid_shape, ax) for ax in range(d)
-        ) % 2
-    elif ncolors == 2**d:
+        ) % base
+    elif ncolors == base**d:
         code = jnp.zeros(grid_shape, dtype=jnp.int32)
         for ax in range(d):
-            code = 2 * code + (
-                jax.lax.broadcasted_iota(jnp.int32, grid_shape, ax) % 2
+            code = base * code + (
+                jax.lax.broadcasted_iota(jnp.int32, grid_shape, ax) % base
             )
     else:
-        raise ValueError(f"unsupported ncolors={ncolors} for d={d}")
+        raise ValueError(f"unsupported ncolors={ncolors} for d={d}, r={r}")
     return tuple(code == c for c in range(ncolors))
 
 
@@ -78,7 +83,7 @@ def sor_sweep(
     forward then backward, cf. MCSORApply at mc_sor.c:223-232).
     """
     if masks is None:
-        masks = color_masks(op.grid_shape, num_colors(op))
+        masks = color_masks(op.grid_shape, num_colors(op), op)
     if sweep == "symmetric":
         x = sor_sweep(op, b, x, omega, "forward", masks)
         return sor_sweep(op, b, x, omega, "backward", masks)

@@ -179,3 +179,27 @@ def test_aggregation_galerkin_exact():
     np.testing.assert_allclose(
         np.asarray(opc.to_dense()), np.asarray(Ac_ref), atol=1e-11
     )
+
+
+def test_squared_operator_and_radius2_sampling():
+    """(kappa^2 - Lap)^2 priors: radius-2 stencil extraction is exact and
+    Gibbs/MGMC remain exactly invariant with (r+1)-coloring (the ex9/ex13
+    squared-prior family)."""
+    from parmgmc_tpu.models.problems import squared_shifted_laplace_fd
+
+    A = make_op()
+    A2 = squared_shifted_laplace_fd(GRID, 1.5, dtype=jnp.float64)
+    assert A2.radius == 2
+    Ad = np.asarray(A.to_dense())
+    np.testing.assert_allclose(
+        np.asarray(A2.to_dense()), Ad @ Ad, rtol=0, atol=1e-8
+    )
+
+    b = rhs()
+    smp = GibbsSampler.create(A2, omega=1.0, sweep="forward")
+    me, ce = invariance_error(smp, A2, b)
+    assert me < TOL and ce < TOL, (me, ce)
+
+    mg = MGMCSampler.create(A2, n_levels=2)
+    me, ce = invariance_error(mg, A2, b)
+    assert me < 1e-8 and ce < 1e-8, (me, ce)
