@@ -1,0 +1,196 @@
+"""Vertex-star patch (block-)Gibbs sampler.
+
+Rebuild of the reference's ASM star-patch smoother configuration —
+firedrake's ``ASMStarPC`` with a ``cholsampler`` sub-sub-PC
+(``/root/reference/examples/ex9.py:48-66``), the smoother of choice for
+squared-operator priors where point-Gibbs mixes poorly.  Block-Gibbs:
+patch S (a node and its star neighbours) is resampled from its exact
+conditional
+
+    x_S ~ N(A_SS^{-1} (b_S - A_{S,rest} x_rest), A_SS^{-1})
+
+patch by patch.  TPU-native formulation: patches are coloured so that
+same-colour patches are mutually uncoupled (per-axis residues mod
+(radius+3)); one colour pass updates all its patches simultaneously with
+*batched* tiny Cholesky solves (one (k,k) factor per node, precomputed as
+an (k,k,*grid) field) — the MXU/VPU replacement for the reference's
+per-patch LAPACK ``potrf``/``trsv`` fast path (pc_chols.c:174-194).
+
+Each patch update is an exact Gibbs conditional, so the whole sweep
+preserves N(A^{-1}b, A^{-1}) exactly — verified by the machine-precision
+invariance tests.  Cost: (radius+3)^d colour passes per sweep; intended
+as an MGMC smoother for hard (e.g. squared) operators at moderate sizes,
+not as the flagship bulk kernel.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parmgmc_tpu._pytree import pytree_dataclass
+from parmgmc_tpu.operators.stencil import StencilOperator
+from parmgmc_tpu.samplers.gibbs import _draw
+
+__all__ = ["PatchGibbsSampler"]
+
+
+def _shift(x, off, fill=0.0):
+    """x[i + off] with constant fill, any radius."""
+    r = max((abs(o) for o in off), default=0)
+    if r == 0:
+        return x
+    xp = jnp.pad(x, r, constant_values=fill)
+    sl = tuple(slice(r + o, r + o + s) for o, s in zip(off, x.shape))
+    return xp[sl]
+
+
+def _ingrid_mask(shape, off, dtype):
+    """1 where node i+off exists."""
+    m = np.ones(shape)
+    for ax, o in enumerate(off):
+        idx = [slice(None)] * len(shape)
+        if o < 0:
+            idx[ax] = slice(0, -o)
+        elif o > 0:
+            idx[ax] = slice(shape[ax] - o, shape[ax])
+        else:
+            continue
+        m[tuple(idx)] = 0.0
+    return jnp.asarray(m, dtype=dtype)
+
+
+@pytree_dataclass(meta=("patch_offsets", "ncolor_base"))
+class PatchGibbsSampler:
+    """Coloured vertex-star block-Gibbs sweep for N(A^{-1}b, A^{-1})."""
+
+    base: StencilOperator
+    L: jax.Array  # (*grid, k, k) per-node patch Cholesky factors
+    patch_offsets: tuple  # k member offsets (first = (0,...,0))
+    ncolor_base: int  # colours = ncolor_base ** ndim
+
+    @staticmethod
+    def create(op: StencilOperator) -> "PatchGibbsSampler":
+        assert isinstance(op, StencilOperator)
+        shape = op.grid_shape
+        d = op.ndim
+        dtype = op.dtype
+        r = op.radius
+
+        patch = [(0,) * d]
+        for ax in range(d):
+            for s in (-1, 1):
+                off = [0] * d
+                off[ax] = s
+                patch.append(tuple(off))
+        k = len(patch)
+
+        coeff_map = dict(zip(op.offsets, op.coeffs))
+
+        # (k, k, *grid) patch matrix field; dummy (out-of-grid) members get
+        # identity rows so every factor is SPD.
+        rows = []
+        for j1, o1 in enumerate(patch):
+            m1 = _ingrid_mask(shape, o1, dtype)
+            row = []
+            for j2, o2 in enumerate(patch):
+                rel = tuple(b - a for a, b in zip(o1, o2))
+                m2 = _ingrid_mask(shape, o2, dtype)
+                if j1 == j2:
+                    ent = _shift(op.diag, o1) * m1 + (1.0 - m1)
+                elif rel in coeff_map:
+                    c = coeff_map[rel]
+                    ent = (
+                        jnp.broadcast_to(_shift(c * jnp.ones(shape, dtype), o1), shape)
+                        * m1
+                        * m2
+                    )
+                else:
+                    ent = jnp.zeros(shape, dtype)
+                row.append(ent)
+            rows.append(jnp.stack(row, axis=-1))  # (*grid, k)
+        Ass = jnp.stack(rows, axis=-2)  # (*grid, k, k)
+        L = jnp.linalg.cholesky(Ass)
+        return PatchGibbsSampler(
+            base=op, L=L, patch_offsets=tuple(patch), ncolor_base=r + 3
+        )
+
+    # -- protocol ------------------------------------------------------------
+    @property
+    def grid_shape(self):
+        return self.base.grid_shape
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    def noise_shapes(self):
+        k = len(self.patch_offsets)
+        return [{"eta": (k, *self.grid_shape)}]
+
+    def _color_mask(self, c, shape):
+        d = len(shape)
+        m = self.ncolor_base
+        code = jnp.zeros(shape, dtype=jnp.int32)
+        for ax in range(d):
+            code = code * m + (
+                jax.lax.broadcasted_iota(jnp.int32, shape, ax) % m
+            )
+        return code == c
+
+    def step_with_noise(self, x, b, noises):
+        """One full coloured patch sweep (every node's patch resampled)."""
+        eta = noises[0]["eta"]  # (k, *grid)
+        shape = self.grid_shape
+        d = len(shape)
+        k = len(self.patch_offsets)
+        ncolors = self.ncolor_base**d
+        masks_in = [
+            _ingrid_mask(shape, o, self.dtype) for o in self.patch_offsets
+        ]
+
+        for c in range(ncolors):
+            cmask = self._color_mask(c, shape)
+            t = b - self.base.apply(x)
+            xs = jnp.stack(
+                [_shift(x, o) for o in self.patch_offsets], axis=-1
+            )  # (*grid, k)
+            ts = jnp.stack(
+                [_shift(t, o) * masks_in[j] for j, o in enumerate(self.patch_offsets)],
+                axis=-1,
+            )
+            # r_S = b_S - (Ax)_S + A_SS x_S   (dummy members: rhs 0)
+            Ass_x = jnp.einsum("...ij,...j->...i", self._ass(), xs)
+            rhs = ts + Ass_x
+            z = jax.scipy.linalg.solve_triangular(
+                self.L, rhs[..., None], lower=True
+            )[..., 0]
+            y = jax.scipy.linalg.solve_triangular(
+                self.L,
+                (z + jnp.moveaxis(eta, 0, -1))[..., None],
+                lower=True,
+                trans=1,
+            )[..., 0]  # (*grid, k)
+            # scatter: member j of a colour-c patch lives at (center + o_j)
+            for j, o in enumerate(self.patch_offsets):
+                back = tuple(-oo for oo in o)
+                src = _shift(y[..., j] * cmask, back)
+                ok = _shift(cmask.astype(self.dtype) * masks_in[j], back)
+                x = jnp.where(ok > 0.5, src, x)
+        return x
+
+    def _ass(self):
+        # reconstruct A_SS = L L^T lazily (avoids storing both)
+        return jnp.einsum("...ik,...jk->...ij", self.L, self.L)
+
+    def prepare(self, b):
+        return None
+
+    def step(self, key, x, b, aux=None):
+        key, sub = jax.random.split(key)
+        noises = _draw(sub, self.noise_shapes(), x.dtype)
+        return key, self.step_with_noise(x, b, noises)

@@ -15,7 +15,8 @@ plus its options, and inner samplers are sub-dicts.  Example::
     })
 
 Types registered: gibbs (mcgibbs/sorgibbs analogue), cholesky
-(cholsampler), mgmc (gamgmc), woodbury.
+(cholsampler), mgmc (gamgmc), woodbury, patch_gibbs (the ASM
+star-patch + cholsampler smoother of ex9).
 """
 
 from __future__ import annotations
@@ -59,6 +60,13 @@ def _build_gibbs(op, cfg):
 @register_sampler("cholesky")
 def _build_cholesky(op, cfg):
     return CholeskySampler.create(op)
+
+
+@register_sampler("patch_gibbs")
+def _build_patch_gibbs(op, cfg):
+    from parmgmc_tpu.samplers.patch_gibbs import PatchGibbsSampler
+
+    return PatchGibbsSampler.create(op)
 
 
 @register_sampler("mgmc")

@@ -203,3 +203,29 @@ def test_squared_operator_and_radius2_sampling():
     mg = MGMCSampler.create(A2, n_levels=2)
     me, ce = invariance_error(mg, A2, b)
     assert me < 1e-8 and ce < 1e-8, (me, ce)
+
+
+def test_patch_gibbs_invariance():
+    """ASM star-patch block-Gibbs (ex9's smoother): exact conditionals,
+    exact invariance, on plain and squared operators, alone and as an
+    MGMC smoother."""
+    from parmgmc_tpu.models.problems import squared_shifted_laplace_fd
+    from parmgmc_tpu.samplers.patch_gibbs import PatchGibbsSampler
+    from parmgmc_tpu.samplers.registry import build_sampler
+
+    op = make_op()
+    b = rhs()
+    smp = PatchGibbsSampler.create(op)
+    me, ce = invariance_error(smp, op, b)
+    assert me < TOL and ce < TOL, (me, ce)
+
+    A2 = squared_shifted_laplace_fd(GRID, 1.5, dtype=jnp.float64)
+    smp2 = PatchGibbsSampler.create(A2)
+    me, ce = invariance_error(smp2, A2, b)
+    assert me < 1e-9 and ce < 1e-9, (me, ce)
+
+    mg = build_sampler(
+        A2, {"type": "mgmc", "n_levels": 2, "smoother": {"type": "patch_gibbs"}}
+    )
+    me, ce = invariance_error(mg, A2, b)
+    assert me < 1e-9 and ce < 1e-9, (me, ce)
