@@ -27,7 +27,6 @@ family the exactness tests verify for the lax path.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from parmgmc_tpu.chain import ChainState, init_chain, sample_chain, sample_moments
+from parmgmc_tpu.chain import init_chain, sample_chain, sample_moments
 from parmgmc_tpu.operators.stencil import shifted_laplace_fd
 from parmgmc_tpu.samplers.mgmc import MGMCSampler
 

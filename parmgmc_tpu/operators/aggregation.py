@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from parmgmc_tpu.operators.graph import GraphOperator, from_csr
 from parmgmc_tpu.operators.lrc import LRCOperator
-from parmgmc_tpu.operators.transfer import SparseTransfer, sparse_transfer_from_csr
+from parmgmc_tpu.operators.transfer import sparse_transfer_from_csr
 
 __all__ = ["aggregation_hierarchy", "smoothed_aggregation_level"]
 

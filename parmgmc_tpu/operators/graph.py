@@ -19,8 +19,6 @@ Woodbury) and the exactness test harness work on it unchanged.
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from parmgmc_tpu._pytree import pytree_dataclass
 from parmgmc_tpu.operators.lrc import LRCOperator
 from parmgmc_tpu.operators.stencil import StencilOperator
-from parmgmc_tpu.samplers.sor import color_masks, num_colors, sor_sweep
+from parmgmc_tpu.samplers.sor import sor_sweep
 
 __all__ = ["GibbsSampler", "build_lrc_correction"]
 

@@ -29,7 +29,6 @@ Differences from the reference, by TPU-design choice:
 from __future__ import annotations
 
 import math
-from typing import Union
 
 import jax
 import jax.numpy as jnp

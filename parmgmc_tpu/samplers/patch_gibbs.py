@@ -25,9 +25,6 @@ not as the flagship bulk kernel.
 
 from __future__ import annotations
 
-import itertools
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
