@@ -95,9 +95,14 @@ def build_hierarchy(op, n_levels=None, coarsest_size=128, coarsening="linear"):
     return ops, tuple(transfers)
 
 
-@pytree_dataclass(meta=("n_pre", "n_post", "n_levels", "n_coarse"))
+@pytree_dataclass(meta=("n_pre", "n_post", "n_levels", "n_coarse", "gamma"))
 class MGMCSampler:
-    """Stochastic V(n_pre, n_post)-cycle chain sampler for N(A^{-1}b, A^{-1})."""
+    """Stochastic V/W(n_pre, n_post)-cycle chain sampler for N(A^{-1}b, A^{-1}).
+
+    gamma=1 gives V-cycles; gamma=2 W-cycles (the coarse correction is a
+    gamma-step chain of the coarse-level sampler, which preserves the
+    coarse target exactly, so invariance carries over for any gamma).
+    """
 
     ops: tuple  # per-level operators, fine -> coarse
     transfers: tuple  # transfer (P / P^T) per non-coarsest level
@@ -107,6 +112,7 @@ class MGMCSampler:
     n_post: int
     n_levels: int
     n_coarse: int = 1  # iterations of the coarse sampler per cycle
+    gamma: int = 1  # cycle index: 1 = V, 2 = W
 
     @staticmethod
     def create(
@@ -121,6 +127,7 @@ class MGMCSampler:
         n_coarse: int = 1,
         impl: str = "auto",
         coarsening: str = "linear",
+        gamma: int = 1,
     ) -> "MGMCSampler":
         ops, transfers = build_hierarchy(
             op,
@@ -143,6 +150,7 @@ class MGMCSampler:
             n_post=n_post,
             n_levels=len(ops),
             n_coarse=n_coarse,
+            gamma=gamma,
         )
 
     # -- properties ---------------------------------------------------------
@@ -172,7 +180,7 @@ class MGMCSampler:
             s = self.smoothers[l]
             return {
                 "pre": [s.noise_shapes() for _ in range(self.n_pre)],
-                "sub": level(l + 1),
+                "sub": [level(l + 1) for _ in range(self.gamma)],
                 "post": [s.noise_shapes() for _ in range(self.n_post)],
             }
 
@@ -192,7 +200,10 @@ class MGMCSampler:
         for i in range(self.n_pre):
             x = smoother.step_with_noise(x, bl, noises["pre"][i])
         r = self.transfers[l].restrict(bl - op.apply(x))
-        xc = self._cycle(l + 1, r, noises["sub"])
+        xc = self._cycle(l + 1, r, noises["sub"][0])
+        for g in range(1, self.gamma):  # W-cycle: iterate the coarse chain
+            rc = r - self.ops[l + 1].apply(xc)
+            xc = xc + self._cycle(l + 1, rc, noises["sub"][g])
         x = x + self.transfers[l].prolong(xc)
         for i in range(self.n_post):
             x = smoother.step_with_noise(x, bl, noises["post"][i])
@@ -218,6 +229,10 @@ class MGMCSampler:
         key, sub = jax.random.split(key)
         r = self.transfers[l].restrict(bl - op.apply(x))
         xc = self._cycle_keyed(l + 1, r, sub)
+        for g in range(1, self.gamma):
+            key, sub = jax.random.split(key)
+            rc = r - self.ops[l + 1].apply(xc)
+            xc = xc + self._cycle_keyed(l + 1, rc, sub)
         x = x + self.transfers[l].prolong(xc)
         for i in range(self.n_post):
             key, x = smoother.step(key, x, bl)

@@ -90,6 +90,7 @@ def _build_mgmc(op, cfg):
         n_post=cfg.pop("n_post", 1),
         n_levels=len(ops),
         n_coarse=cfg.pop("n_coarse", 1),
+        gamma=cfg.pop("gamma", 1),
     )
 
 

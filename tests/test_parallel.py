@@ -90,3 +90,22 @@ def test_sharded_chain_statistics():
     _, mean, _ = run(st)
     rel = np.linalg.norm(np.asarray(mean) - ex_mean) / np.linalg.norm(ex_mean)
     assert rel < 0.05, rel
+
+
+def test_sharded_aggregation_mgmc_matches_single_device():
+    """The flagship bench hierarchy (aggregation coarsening) must shard:
+    block-sum transfers are reshape-based and GSPMD-safe."""
+    op = shifted_laplace_fd(GRID, 3.0, dtype=DTYPE)
+    smp = MGMCSampler.create(op, n_levels=3, coarsening="aggregate")
+    b = jnp.ones(GRID, DTYPE)
+    x = jax.random.normal(jax.random.PRNGKey(4), GRID, dtype=DTYPE)
+    noises = fixed_noises(smp)
+    ref = smp.step_with_noise(x, b, noises)
+
+    mesh = make_mesh((4, 2))
+    smp_sh, xsh = shard_sampler(smp, mesh)
+    out = jax.jit(lambda s, xx, bb, nn: s.step_with_noise(xx, bb, nn))(
+        smp_sh, jax.device_put(x, xsh), jax.device_put(b, xsh), noises
+    )
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-11)

@@ -229,3 +229,12 @@ def test_patch_gibbs_invariance():
     )
     me, ce = invariance_error(mg, A2, b)
     assert me < 1e-9 and ce < 1e-9, (me, ce)
+
+
+def test_mgmc_wcycle_invariance():
+    """W-cycles (gamma=2): the coarse correction is a 2-step coarse chain,
+    still exactly invariant."""
+    op = make_op()
+    smp = MGMCSampler.create(op, n_levels=3, gamma=2)
+    mean_err, cov_err = invariance_error(smp, op, rhs())
+    assert mean_err < TOL and cov_err < TOL, (mean_err, cov_err)
