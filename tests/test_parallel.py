@@ -109,3 +109,72 @@ def test_sharded_aggregation_mgmc_matches_single_device():
     )
     assert len(out.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-11)
+
+
+def test_explicit_shard_map_sweep_exact_mode():
+    """parallel.sharded exact mode == single-device multicolor sweep."""
+    from parmgmc_tpu.parallel.sharded import sharded_gibbs_sweep
+    from parmgmc_tpu.samplers.sor import sor_sweep
+    from jax.sharding import PartitionSpec as P
+
+    op = shifted_laplace_fd((32, 16), 3.0, dtype=DTYPE)
+    cmap = dict(zip(op.offsets, op.coeffs))
+    coeffs = jnp.stack(
+        [cmap[o] for o in [(-1, 0), (1, 0), (0, -1), (0, 1)]]
+    ).astype(DTYPE)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, op.grid_shape, DTYPE)
+    b = jax.random.normal(jax.random.fold_in(key, 1), op.grid_shape, DTYPE)
+
+    mesh = make_mesh((8,), axis_names=("x",))
+    f = jax.jit(
+        jax.shard_map(
+            lambda xx, bb, dd: sharded_gibbs_sweep(
+                xx, bb, dd, coeffs, 1.3, "x", sweep="forward", halo_mode="exact"
+            ),
+            mesh=mesh,
+            in_specs=(P("x"), P("x"), P("x")),
+            out_specs=P("x"),
+        )
+    )
+    out = f(x, b, op.diag)
+    ref = sor_sweep(op, b, x, 1.3, "forward")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
+
+
+def test_hogwild_frozen_halo_chain_statistics():
+    """The frozen-halo ("Hogwild" local-forward analogue,
+    pc_sorgibbs.c:264-278) chain: statistically close to the target on a
+    well-conditioned problem, like the reference's variant."""
+    from parmgmc_tpu.parallel.sharded import make_sharded_gibbs_step
+
+    op = shifted_laplace_fd((32, 16), 10.0, dtype=DTYPE)
+    b = jnp.ones(op.grid_shape, DTYPE)
+    mesh = make_mesh((8,), axis_names=("x",))
+    step, sharding = make_sharded_gibbs_step(
+        op, mesh, omega=1.0, halo_mode="frozen"
+    )
+    x = jax.device_put(jnp.zeros(op.grid_shape, DTYPE), sharding)
+    bs = jax.device_put(b, sharding)
+
+    def body(carry, i):
+        key, x, mean = carry
+        key, x = step(key, x, bs)
+        mean = mean + (x - mean) / (i + 1.0)
+        return (key, x, mean), None
+
+    run = jax.jit(
+        lambda: jax.lax.scan(
+            body,
+            (jax.random.PRNGKey(2), x, jnp.zeros_like(x)),
+            jnp.arange(30_000, dtype=DTYPE),
+        )
+    )
+    (key, xf, mean), _ = run()
+    ex = np.linalg.solve(np.asarray(op.to_dense()), np.ones(op.n)).reshape(
+        op.grid_shape
+    )
+    rel = np.linalg.norm(np.asarray(mean) - ex) / np.linalg.norm(ex)
+    # Hogwild mode is intentionally approximate across shards; the bias on
+    # a diagonally-dominant problem is small (matches the reference's use).
+    assert rel < 0.05, rel
