@@ -1,0 +1,57 @@
+"""Pallas kernel regression tests (interpret mode, deterministic path).
+
+The stochastic path (on-chip PRNG) cannot run in CPU interpret mode;
+its statistical equivalence to the lax path was validated on TPU (see
+BENCH_NOTES.md).  Here the deterministic sweeps (noise disabled) must
+match the lax multicolor sweep exactly for both kernel variants.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parmgmc_tpu.kernels.rb_gibbs import (
+    fused_rb_gibbs_sweep,
+    fused_rb_gibbs_sweep_fd,
+)
+from parmgmc_tpu.operators.stencil import shifted_laplace_fd
+from parmgmc_tpu.samplers.sor import sor_sweep
+
+SHAPE = (16, 128, 128)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    op = shifted_laplace_fd(SHAPE, 2.0, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, SHAPE, jnp.float32)
+    b = jax.random.normal(jax.random.fold_in(key, 1), SHAPE, jnp.float32)
+    coeffs = jnp.asarray([float(c) for c in op.coeffs], jnp.float32)
+    return op, x, b, coeffs
+
+
+@pytest.mark.parametrize("sweep", ["forward", "backward"])
+def test_fused_sweep_matches_lax(problem, sweep):
+    op, x, b, coeffs = problem
+    ref = sor_sweep(op, b, x, 1.3, sweep)
+    out = fused_rb_gibbs_sweep(
+        x, b, op.diag, coeffs, 1.3, 0, 0,
+        noise_mult=0.0, sweep=sweep, interpret=True, with_noise=False,
+    )
+    err = float(jnp.abs(ref - out).max() / jnp.abs(ref).max())
+    assert err < 1e-5, err
+
+
+@pytest.mark.parametrize("sweep", ["forward", "backward"])
+def test_fused_fd_sweep_matches_lax(problem, sweep):
+    op, x, b, coeffs = problem
+    hinv2 = -float(op.coeffs[0])
+    kappa2 = 4.0
+    ref = sor_sweep(op, b, x, 1.3, sweep)
+    out = fused_rb_gibbs_sweep_fd(
+        x, b, coeffs, kappa2, hinv2, 1.3, 0, 0,
+        noise_mult=0.0, sweep=sweep, interpret=True, with_noise=False,
+    )
+    err = float(jnp.abs(ref - out).max() / jnp.abs(ref).max())
+    assert err < 1e-5, err
