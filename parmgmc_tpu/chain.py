@@ -56,17 +56,38 @@ def sample_chain(
     aux = sampler.prepare(b)
     extract = extract or (lambda x: x)
 
-    def step_fn(st, _):
-        key, x = sampler.step(st.key, st.x, b, aux)
-        return ChainState(x=x, key=key), None
+    if burnin == 0:
 
-    def record_fn(st, _):
-        key, x = sampler.step(st.key, st.x, b, aux)
-        return ChainState(x=x, key=key), extract(x)
+        def record_fn(st, _):
+            key, x = sampler.step(st.key, st.x, b, aux)
+            return ChainState(x=x, key=key), extract(x)
 
-    if burnin > 0:
-        state, _ = jax.lax.scan(step_fn, state, None, length=burnin)
-    state, out = jax.lax.scan(record_fn, state, None, length=n_samples)
+        state, out = jax.lax.scan(record_fn, state, None, length=n_samples)
+        return state, out
+
+    # Single scan over burnin + n_samples (two scans would compile two
+    # distinct XLA programs): recorded extracts land in a carried buffer
+    # at index clip(i - burnin); burn-in steps harmlessly overwrite
+    # slot 0, which the first recorded step then claims.
+    probe = jax.eval_shape(lambda s: extract(s.x), state)
+    out0 = jax.tree_util.tree_map(
+        lambda p: jnp.zeros((n_samples, *p.shape), p.dtype), probe
+    )
+
+    def step_fn(carry, i):
+        st, out = carry
+        key, x = sampler.step(st.key, st.x, b, aux)
+        j = jnp.clip(i - burnin, 0, n_samples - 1)
+        out = jax.tree_util.tree_map(
+            lambda buf, v: jax.lax.dynamic_update_index_in_dim(buf, v, j, 0),
+            out,
+            extract(x),
+        )
+        return (ChainState(x=x, key=key), out), None
+
+    (state, out), _ = jax.lax.scan(
+        step_fn, (state, out0), jnp.arange(burnin + n_samples)
+    )
     return state, out
 
 
@@ -84,27 +105,27 @@ def sample_moments(
     (``src/ms.c:221-265``) without storing the sample stream.
     """
     aux = sampler.prepare(b)
-
-    def burn_fn(st, _):
-        key, x = sampler.step(st.key, st.x, b, aux)
-        return ChainState(x=x, key=key), None
-
-    if burnin > 0:
-        state, _ = jax.lax.scan(burn_fn, state, None, length=burnin)
-
     mean0 = jnp.zeros_like(state.x)
     m2_0 = jnp.zeros_like(state.x)
 
+    # One scan over burnin + n_samples (not two compiled programs); the
+    # Welford update is masked out during burn-in.  The step index stays
+    # integer — a float32 index drifts past 2^24 samples — and is cast
+    # only inside the division.
     def step_fn(carry, i):
         st, mean, m2 = carry
         key, x = sampler.step(st.key, st.x, b, aux)
+        recording = i >= burnin
+        cnt = (i - burnin + 1).astype(x.dtype)
         delta = x - mean
-        mean = mean + delta / (i + 1.0)
-        m2 = m2 + delta * (x - mean)
+        mean_new = mean + delta / cnt
+        m2_new = m2 + delta * (x - mean_new)
+        mean = jnp.where(recording, mean_new, mean)
+        m2 = jnp.where(recording, m2_new, m2)
         return (ChainState(x=x, key=key), mean, m2), None
 
     (state, mean, m2), _ = jax.lax.scan(
-        step_fn, (state, mean0, m2_0), jnp.arange(n_samples, dtype=state.x.dtype)
+        step_fn, (state, mean0, m2_0), jnp.arange(burnin + n_samples)
     )
     var = m2 / jnp.maximum(n_samples - 1, 1)
     return state, mean, var

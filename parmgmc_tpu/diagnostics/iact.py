@@ -33,7 +33,7 @@ def autocorrelation(x) -> jnp.ndarray:
     """Normalised ACF of a scalar chain x (length n), rho[0] = 1."""
     x = jnp.asarray(x)
     n = x.shape[-1]
-    N = 2 * _next_pow_two(n)
+    N = _next_pow_two(n)
     xc = x - jnp.mean(x, axis=-1, keepdims=True)
     f = jnp.fft.fft(xc, n=2 * N, axis=-1)
     acov = jnp.fft.ifft(f * jnp.conj(f), axis=-1).real[..., :n]

@@ -47,29 +47,46 @@ class MaternSampler:
         self.state = init_chain(self.sampler, jax.random.PRNGKey(seed))
         self.b = jnp.zeros(self.grid_shape, dtype=dtype)  # zero-mean field
         self._qoi: Optional[Callable] = None
+        self._runners = {}
 
     def set_qoi(self, fn: Callable):
         """QOI extractor applied to each sample (MSSetQOI, ms.c:361-378)."""
         self._qoi = fn
+        self._runners = {}  # the extractor is baked into cached runners
+
+    def _runner(self, kind: str, n: int, burnin: int):
+        """Cached jitted chain runner.  Sampler/state/b are passed as jit
+        ARGUMENTS: closing over them would retrace per call and embed the
+        operator hierarchy as program constants (the remote-compile
+        HTTP-413 failure mode at flagship sizes, see CLAUDE.md)."""
+        key = (kind, n, burnin)
+        if key not in self._runners:
+            if kind == "chain":
+                extract = self._qoi or (lambda x: x)
+                self._runners[key] = jax.jit(
+                    lambda smp, st, bb: sample_chain(
+                        smp, st, bb, n, extract=extract, burnin=burnin
+                    )
+                )
+            else:
+                self._runners[key] = jax.jit(
+                    lambda smp, st, bb: sample_moments(
+                        smp, st, bb, n, burnin=burnin
+                    )
+                )
+        return self._runners[key]
 
     def sample(self, n: int = 1, burnin: int = 0):
         """Advance the chain n steps; returns stacked QOI values (or samples)."""
-        extract = self._qoi or (lambda x: x)
-        run = jax.jit(
-            lambda st: sample_chain(
-                self.sampler, st, self.b, n, extract=extract, burnin=burnin
-            )
-        )
-        self.state, out = run(self.state)
+        run = self._runner("chain", n, burnin)
+        self.state, out = run(self.sampler, self.state, self.b)
         return out
 
     def sample_mean_and_var(self, n: int, burnin: int = 0):
         """Run n recording steps, returning (mean, var) fields
         (MSBeginSaveSamples/MSGetMeanAndVar semantics, ms.c:221-265)."""
-        run = jax.jit(
-            lambda st: sample_moments(self.sampler, st, self.b, n, burnin=burnin)
-        )
-        self.state, mean, var = run(self.state)
+        run = self._runner("moments", n, burnin)
+        self.state, mean, var = run(self.sampler, self.state, self.b)
         return mean, var
 
 
@@ -136,26 +153,41 @@ class MaternMeshSampler:
         self.sampler = MGMCSampler.create(op, **mgmc_kwargs)
         self.state = init_chain(self.sampler, jax.random.PRNGKey(seed))
         self._qoi: Optional[Callable] = None
+        self._runners = {}
 
     def set_qoi(self, fn: Callable):
         """QOI applied to samples in ORIGINAL node ordering."""
         self._qoi = fn
+        self._runners = {}
+
+    def _runner(self, kind: str, n: int, burnin: int):
+        """Cached jitted runner with sampler/state/b as jit arguments
+        (see MaternSampler._runner for why)."""
+        key = (kind, n, burnin)
+        if key not in self._runners:
+            if kind == "chain":
+                iperm = self.op.iperm
+                user = self._qoi or (lambda x: x)
+                extract = lambda x: user(x[iperm])
+                self._runners[key] = jax.jit(
+                    lambda smp, st, bb: sample_chain(
+                        smp, st, bb, n, extract=extract, burnin=burnin
+                    )
+                )
+            else:
+                self._runners[key] = jax.jit(
+                    lambda smp, st, bb: sample_moments(
+                        smp, st, bb, n, burnin=burnin
+                    )
+                )
+        return self._runners[key]
 
     def sample(self, n: int = 1, burnin: int = 0):
-        iperm = self.op.iperm
-        user = self._qoi or (lambda x: x)
-        extract = lambda x: user(x[iperm])
-        run = jax.jit(
-            lambda st: sample_chain(
-                self.sampler, st, self.b, n, extract=extract, burnin=burnin
-            )
-        )
-        self.state, out = run(self.state)
+        run = self._runner("chain", n, burnin)
+        self.state, out = run(self.sampler, self.state, self.b)
         return out
 
     def sample_mean_and_var(self, n: int, burnin: int = 0):
-        run = jax.jit(
-            lambda st: sample_moments(self.sampler, st, self.b, n, burnin=burnin)
-        )
-        self.state, mean, var = run(self.state)
+        run = self._runner("moments", n, burnin)
+        self.state, mean, var = run(self.sampler, self.state, self.b)
         return mean[self.op.iperm], var[self.op.iperm]

@@ -82,6 +82,7 @@ def sharded_gibbs_sweep(
     halo_mode: str = "exact",
 ):
     """One sweep on the local block inside shard_map (see module doc)."""
+    assert sweep in ("forward", "backward"), sweep
     n0 = x_loc.shape[0]
     dev = jax.lax.axis_index(axis_name)
     row0 = dev * n0  # global index of the local first row
@@ -132,29 +133,41 @@ def make_sharded_gibbs_step(
     cmap = dict(zip(op.offsets, op.coeffs))
     coeffs = jnp.stack([cmap[tuple(o)] for o in order]).astype(op.dtype)
 
+    assert sweep in ("forward", "backward", "symmetric")
     spec = P(axis_name, *([None] * (d - 1)))
     sharding = NamedSharding(mesh, spec)
     noise_scale = jnp.sqrt((2.0 - omega) / omega) * jnp.sqrt(op.diag)
 
-    local = functools.partial(
-        sharded_gibbs_sweep,
-        omega=omega,
-        axis_name=axis_name,
-        sweep=sweep,
-        halo_mode=halo_mode,
-    )
-    sweep_sharded = jax.shard_map(
-        lambda xx, bb, dd: local(xx, bb, dd, coeffs),
-        mesh=mesh,
-        in_specs=(spec, spec, spec),
-        out_specs=spec,
+    halves = ("forward", "backward") if sweep == "symmetric" else (sweep,)
+    sweeps_sharded = tuple(
+        jax.shard_map(
+            functools.partial(
+                sharded_gibbs_sweep,
+                omega=omega,
+                axis_name=axis_name,
+                sweep=h,
+                halo_mode=halo_mode,
+            ),
+            mesh=mesh,
+            in_specs=(spec, spec, spec, P()),
+            out_specs=spec,
+        )
+        for h in halves
     )
 
+    # Grid-shaped operator fields (diag, noise scale) enter the jitted
+    # step as ARGUMENTS — closed-over they would be embedded as program
+    # constants, which the remote TPU compiler rejects at flagship sizes
+    # (HTTP 413, see CLAUDE.md).
     @jax.jit
+    def _step(key, x, b, diag, nscale):
+        for sw in sweeps_sharded:  # fresh noise per half-sweep
+            key, sub = jax.random.split(key)
+            eta = jax.random.normal(sub, x.shape, dtype=x.dtype)
+            x = sw(x, b + nscale * eta, diag, coeffs)
+        return key, x
+
     def step(key, x, b):
-        key, sub = jax.random.split(key)
-        eta = jax.random.normal(sub, x.shape, dtype=x.dtype)
-        btilde = b + noise_scale * eta
-        return key, sweep_sharded(x, btilde, op.diag)
+        return _step(key, x, b, op.diag, noise_scale)
 
     return step, sharding

@@ -44,9 +44,13 @@ def _solve_columns_dense(base, B):
     return jnp.linalg.solve(A, Bf).reshape(B.shape)
 
 
-def _solve_columns_cg(base, B, tol=1e-10, maxiter=10_000):
+def _solve_columns_cg(base, B, tol=None, maxiter=10_000):
     """A^{-1} B matrix-free via CG (large n)."""
     ndim = base.ndim
+    if tol is None:
+        # dtype-aware: 1e-10 is unreachable in f32 and would silently
+        # burn maxiter iterations per column.
+        tol = 1e-10 if B.dtype == jnp.float64 else 2e-6
 
     def solve_one(col):
         x, _ = jax.scipy.sparse.linalg.cg(base.apply, col, tol=tol, maxiter=maxiter)

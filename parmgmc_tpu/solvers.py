@@ -54,13 +54,10 @@ def richardson_solve(
     x = jnp.zeros_like(b) if x0 is None else x0
 
     def body(x, _):
+        # For LRC operators the sweep preconditions the base A only;
+        # Richardson still converges since A dominates A + B Sigma^-1 B^T.
         r = b - op.apply(x)
         x = x + _op_sweep(_base_of(op), r, jnp.zeros_like(r), omega, sweep)
-        if isinstance(op, LRCOperator):
-            # matrix-consistent correction for the low-rank part is not in
-            # the plain sweep; Richardson still converges since the sweep
-            # preconditions the dominant base operator.
-            pass
         return x, jnp.linalg.norm(b - op.apply(x))
 
     x, res = jax.lax.scan(body, x, None, length=maxiter)
