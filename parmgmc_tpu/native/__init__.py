@@ -95,6 +95,55 @@ def aggregate_native(indptr, indices, n):
     return agg, int(n_agg)
 
 
+_SOR_SRC = os.path.join(_DIR, "ref_sor_bench.cpp")
+_SOR_SO = os.path.join(_DIR, "libref_sor_bench.so")
+_SOR_LIB = None
+_SOR_TRIED = False
+
+
+def ref_sor_bench(n: int, nsweeps: int = 8, kappa2: float = 1.0,
+                  omega: float = 1.0):
+    """Time the reference's CSR red/black SOR hot loop on one host core.
+
+    Returns (n_dof, sec_per_sweep, sec_per_noise_fill) or None if no
+    toolchain is available.  Used to anchor bench.py's vs_baseline in a
+    measured number (BENCH_NOTES.md)."""
+    global _SOR_LIB, _SOR_TRIED
+    with _LOCK:
+        if not _SOR_TRIED:
+            _SOR_TRIED = True
+            try:
+                if not os.path.exists(_SOR_SO) or os.path.getmtime(
+                    _SOR_SO
+                ) < os.path.getmtime(_SOR_SRC):
+                    subprocess.run(
+                        ["g++", "-O3", "-shared", "-fPIC", "-o", _SOR_SO,
+                         _SOR_SRC],
+                        check=True,
+                        capture_output=True,
+                    )
+                L = ctypes.CDLL(_SOR_SO)
+                f64p = ctypes.POINTER(ctypes.c_double)
+                L.pmg_ref_sor_bench.restype = ctypes.c_int64
+                L.pmg_ref_sor_bench.argtypes = [
+                    ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+                    ctypes.c_double, ctypes.c_double, f64p, f64p,
+                ]
+                _SOR_LIB = L
+            except Exception:
+                _SOR_LIB = None
+    if _SOR_LIB is None:
+        return None
+    hinv2 = float((n + 1) ** 2)  # unit-domain FD scaling
+    sweep = ctypes.c_double()
+    fill = ctypes.c_double()
+    ndof = _SOR_LIB.pmg_ref_sor_bench(
+        n, nsweeps, kappa2, hinv2, omega,
+        ctypes.byref(sweep), ctypes.byref(fill),
+    )
+    return int(ndof), float(sweep.value), float(fill.value)
+
+
 def ell_pack_native(indptr, indices, data, n, w):
     L = lib()
     if L is None:
