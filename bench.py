@@ -19,6 +19,7 @@ itself publishes no numbers (BASELINE.md).
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -103,5 +104,67 @@ def main():
     )
 
 
+def selftest():
+    """TPU-gated regression of the stochastic fused-kernel paths.
+
+    The on-chip counter-PRNG noise cannot run in CPU interpret mode, so
+    the pytest suite covers only the deterministic kernel paths.  This
+    check (run ``python bench.py --selftest`` on a TPU) compares sample
+    moments of the fused MGMC chain (Pallas kernels, on-chip noise)
+    against the lax chain (threefry noise) on a small 3D problem — a
+    drift in the kernels' _mix/Box-Muller would fail it loudly.
+    """
+    from parmgmc_tpu.chain import ChainState, sample_moments
+    from parmgmc_tpu.models.problems import gmrf_3d
+    from parmgmc_tpu.samplers.mgmc import MGMCSampler
+
+    from parmgmc_tpu.operators.stencil import shifted_laplace_fd
+
+    # (16, 16, 128): big enough in the lane dim for the fused kernels
+    op = shifted_laplace_fd((16, 16, 128), 1.0, dtype=jnp.float32)
+    b = jnp.full(op.grid_shape, 50.0, jnp.float32)
+    n = 40_000
+
+    def moments(impl):
+        smp = MGMCSampler.create(
+            op, n_pre=1, n_post=0, coarsest_size=128,
+            coarsening="aggregate", impl=impl,
+        )
+        run = jax.jit(
+            lambda smp, st, bb: sample_moments(smp, st, bb, n, burnin=200)
+        )
+        st = ChainState(
+            x=jnp.zeros(op.grid_shape, jnp.float32), key=jax.random.PRNGKey(7)
+        )
+        _, mean, var = run(smp, st, b)
+        return np.asarray(mean), np.asarray(var), smp
+
+    mean_f, var_f, smp_f = moments("fused_fd")
+    mean_l, var_l, _ = moments("lax")
+    kinds = {
+        s.impl for s in smp_f.smoothers
+    }
+    assert "fused_fd" in kinds, f"fused kernels not engaged on {jax.devices()}"
+
+    # Monte-Carlo error of the mean over n samples ~ sqrt(var/n); the
+    # per-point SE understates the error by the chain's residual
+    # autocorrelation (measured mean |z| ~ 1.3 vs 0.8 for white chains),
+    # so the gates are calibrated for max over 32k points at tau ~ 2-3:
+    # a broken _mix/Box-Muller fails by orders of magnitude, not 2x.
+    se = np.sqrt((var_f + var_l) / n)
+    z = np.abs(mean_f - mean_l) / np.maximum(se, 1e-12)
+    rvar = np.abs(var_f - var_l) / np.maximum(var_l, 1e-12)
+    print(f"max |mean_fused - mean_lax| / SE = {z.max():.2f} (gate 10)")
+    print(f"mean |z| = {z.mean():.2f} (gate 2.5)")
+    print(f"max relative var gap = {rvar.max():.3f} (gate 0.2)")
+    assert z.max() < 10.0, "fused-kernel mean drifted from lax chain"
+    assert z.mean() < 2.5, "fused-kernel mean field biased vs lax chain"
+    assert rvar.max() < 0.2, "fused-kernel variance drifted from lax chain"
+    print("selftest OK: fused stochastic path matches lax chain")
+
+
 if __name__ == "__main__":
-    main()
+    if "--selftest" in sys.argv:
+        selftest()
+    else:
+        main()

@@ -1,0 +1,304 @@
+"""Fused MGMC down-phase kernel: noise + from-zero sweep + residual + restrict.
+
+The V-cycle's per-level down-phase work is, in lax ops, four separate
+HBM-bound programs (stochastic RHS build, masked two-colour sweep,
+residual, restriction — the reference's hot path spreads the same work
+across MCSORApply + MatMult + MatRestrict, ``/root/reference/src/
+mc_sor.c:298-381``, ``src/pc_gamgmc.c:227-264``).  On TPU each extra
+pass costs a full HBM round trip, so this kernel fuses the whole
+down-phase of one level into a single software-pipelined ``pallas_call``:
+
+  1. stream the level RHS ``bl`` block by block (every byte fetched once),
+  2. build the stochastic RHS b~ = bl + sqrt((2-w)/w) D^{1/2} eta with
+     eta generated on chip, keyed by (seed, step, global row) — identical
+     keying to kernels.rb_gibbs, so halo recompute across tiles/shards
+     stays bit-identical,
+  3. run one red/black SOR sweep FROM ZERO (the MGMC pre-smooth; no x
+     stream at all — colour-0 values are (w/D) b~ everywhere),
+  4. compute the post-sweep residual r = bl - A y on the tile's rows and
+     restrict it by the 2x2x2 aggregate sum in axis 0 (row-pair adds)
+     and axis 1 (sublane reshape-sum).  The lane-dim pair sum is left to
+     one cheap XLA op (Mosaic has no exact lane-pair reduction; the MXU
+     matmul route loses f32 precision, which would break the exact
+     Galerkin identity the invariance tests depend on).
+
+Outputs: y (the smoothed correction) and rq of shape (N0/2, N1/2, N2)
+with ``rc = rq.reshape(N0/2, N1/2, N2/2, 2).sum(-1)``.
+
+HBM traffic per level: read bl + write y + write rq = 2.25 passes,
+replacing ~7 passes of the unfused path.  FD-form operators only (the
+diagonal is recomputed in-kernel from the link-count formula); the
+plain-aggregation hierarchy keeps every level in FD form, so this
+kernel serves the whole cycle above the lane-width floor.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from parmgmc_tpu.kernels.rb_gibbs import _mix, _shift_plane
+
+__all__ = ["fused_zero_gibbs_restrict_fd"]
+
+_TWO_PI = 6.283185307179586
+
+
+def _kernel(
+    fscal_ref,  # SMEM (10,) f32: omega, c0lo..c2hi, noise_mult, kappa2, hinv2
+    iscal_ref,  # SMEM (3,) i32: seed, color0, step
+    b_ref,  # VMEM (T, N1, N2) block min(i, G-1) of bl
+    y_ref,  # VMEM (T, N1, N2) out block max(i-1, 0)
+    rq_ref,  # VMEM (T//2, N1//2, N2) out block max(i-1, 0)
+    btw,  # scratch (T+4, N1, N2): b~ rows jT-2 .. jT+T+1
+    btprev,  # scratch (T, N1, N2): b~ rows jT .. jT+T-1 (from last step)
+    braw,  # scratch (T, N1, N2): raw bl rows jT .. jT+T-1
+    tail_bt,  # scratch (2, N1, N2): b~ rows jT-2, jT-1
+    yw,  # scratch (T+4, N1, N2): the from-zero sweep window
+    *,
+    T: int,
+    shape: tuple,
+    with_noise: bool,
+):
+    N0, N1, N2 = shape
+    G = N0 // T
+    W = T + 4
+    i = pl.program_id(0)
+    j = i - 1  # tile being produced
+    jT = j * T
+
+    omega = fscal_ref[0]
+    noise_mult = fscal_ref[7]
+    kappa2 = fscal_ref[8]
+    hinv2 = fscal_ref[9]
+    seed = iscal_ref[0]
+    color0 = iscal_ref[1]
+    step = iscal_ref[2]
+    su = seed.astype(jnp.uint32)
+    stepu = step.astype(jnp.uint32)
+    nscale = jnp.sqrt((2.0 - omega) / omega) * noise_mult
+
+    jj = jax.lax.broadcasted_iota(jnp.int32, (N1, N2), 0)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (N1, N2), 1)
+    plane_par = (jj + kk) % 2
+    links_inplane = (
+        (jj >= 1).astype(jnp.float32)
+        + (jj <= N1 - 2).astype(jnp.float32)
+        + (kk >= 1).astype(jnp.float32)
+        + (kk <= N2 - 2).astype(jnp.float32)
+    )
+
+    c0lo, c0hi = fscal_ref[1], fscal_ref[2]
+    c1lo, c1hi = fscal_ref[3], fscal_ref[4]
+    c2lo, c2hi = fscal_ref[5], fscal_ref[6]
+
+    def eta_row(g):
+        """N(0,1) plane keyed by (seed, step, global row g) — the same
+        keying as kernels.rb_gibbs so overlap recompute is bit-identical."""
+        gu = g.astype(jnp.uint32)
+        h = _mix(_mix(su, stepu), gu)
+        pltpu.prng_seed(h.astype(jnp.int32))
+        bits = pltpu.bitcast(pltpu.prng_random_bits((2, N1, N2)), jnp.uint32)
+        hi1 = pltpu.bitcast(bits[0] >> 9, jnp.int32)
+        hi2 = pltpu.bitcast(bits[1] >> 9, jnp.int32)
+        u1 = hi1.astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-7
+        u2 = hi2.astype(jnp.float32) * (1.0 / (1 << 23))
+        return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+
+    def diag_row(g):
+        up_ok = (g >= 1).astype(jnp.float32)
+        dn_ok = (g <= N0 - 2).astype(jnp.float32)
+        return kappa2 + hinv2 * (links_inplane + up_ok + dn_ok)
+
+    def btilde_row(braw_plane, g):
+        if with_noise:
+            return braw_plane + nscale * jnp.sqrt(diag_row(g)) * eta_row(g)
+        return braw_plane
+
+    @pl.when(i > 0)
+    def _compute():
+        # ---- assemble the b~ window rows jT-2 .. jT+T+1 ------------------
+        btw[0] = tail_bt[0]
+        btw[1] = tail_bt[1]
+        btw[pl.ds(2, T)] = btprev[:]
+        # rows jT+T, jT+T+1 come fresh from the current block (recomputed
+        # bit-identically in next step's slide)
+        btw[T + 2] = btilde_row(b_ref[0], jT + T)
+        btw[T + 3] = btilde_row(b_ref[jnp.minimum(1, T - 1)], jT + T + 1)
+
+        # ---- phase 0: from zero, y = (w/D) b~ at colour-0 points ---------
+        def p0_row(l, _):
+            g = jT + (l - 2)
+            mask = ((g + plane_par) % 2) == color0
+            yw[l] = jnp.where(mask, (omega / diag_row(g)) * btw[l], 0.0)
+            return 0
+
+        jax.lax.fori_loop(0, W, p0_row, 0, unroll=False)
+
+        # ---- phase 1: colour-1 points read fresh colour-0 neighbours -----
+        def p1_row(l, _):
+            g = jT + (l - 2)
+            yl = yw[l]
+            up_ok = jnp.logical_and(l >= 1, g >= 1).astype(jnp.float32)
+            dn_ok = jnp.logical_and(l <= W - 2, g <= N0 - 2).astype(
+                jnp.float32
+            )
+            up = yw[jnp.maximum(l - 1, 0)]
+            dn = yw[jnp.minimum(l + 1, W - 1)]
+            sumn = (
+                c0lo * up_ok * up
+                + c0hi * dn_ok * dn
+                + c1lo * _shift_plane(yl, 0, -1, N1)
+                + c1hi * _shift_plane(yl, 0, 1, N1)
+                + c2lo * _shift_plane(yl, 1, -1, N2)
+                + c2hi * _shift_plane(yl, 1, 1, N2)
+            )
+            upd = (omega / diag_row(g)) * (btw[l] - sumn)
+            mask = ((g + plane_par) % 2) == (1 - color0)
+            yw[l] = jnp.where(mask, upd, yl)
+            return 0
+
+        jax.lax.fori_loop(1, W - 1, p1_row, 0, unroll=False)
+
+        y_ref[:] = yw[pl.ds(2, T)]
+
+        # ---- residual + 3/4-restriction ----------------------------------
+        # r[g] = bl[g] - A y |_g on output rows; coarse row c sums fine
+        # rows 2c, 2c+1 (axis 0) and sublane pairs (axis 1).
+        def res_row(l, _):
+            g = jT + (l - 2)
+
+            def r_at(lf, gf):
+                ylf = yw[lf]
+                up_ok = (gf >= 1).astype(jnp.float32)
+                dn_ok = (gf <= N0 - 2).astype(jnp.float32)
+                sumn = (
+                    c0lo * up_ok * yw[lf - 1]
+                    + c0hi * dn_ok * yw[lf + 1]
+                    + c1lo * _shift_plane(ylf, 0, -1, N1)
+                    + c1hi * _shift_plane(ylf, 0, 1, N1)
+                    + c2lo * _shift_plane(ylf, 1, -1, N2)
+                    + c2hi * _shift_plane(ylf, 1, 1, N2)
+                )
+                return braw[lf - 2] - diag_row(gf) * ylf - sumn
+
+            rp = r_at(l, g) + r_at(l + 1, g + 1)
+            rq_ref[(l - 2) // 2] = rp.reshape(N1 // 2, 2, N2).sum(1)
+            return 0
+
+        def res_pair(c, _):
+            return res_row(2 + 2 * c, _)
+
+        jax.lax.fori_loop(0, T // 2, res_pair, 0, unroll=False)
+
+    @pl.when(i == 0)
+    def _init():
+        tail_bt[0] = jnp.zeros((N1, N2), jnp.float32)
+        tail_bt[1] = jnp.zeros((N1, N2), jnp.float32)
+        y_ref[:] = b_ref[:]  # overwritten at step 1
+        rq_ref[:] = jnp.zeros((T // 2, N1 // 2, N2), jnp.float32)
+
+    @pl.when(jnp.logical_and(i > 0, i < G))
+    def _slide_tails():
+        tail_bt[0] = btprev[T - 2]
+        tail_bt[1] = btprev[T - 1]
+
+    @pl.when(i < G)
+    def _slide():
+        braw[:] = b_ref[:]
+
+        def brow(r, _):
+            btprev[r] = btilde_row(b_ref[r], i * T + r)
+            return 0
+
+        jax.lax.fori_loop(0, T, brow, 0, unroll=False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sweep", "tile", "interpret", "with_noise")
+)
+def fused_zero_gibbs_restrict_fd(
+    b,
+    coeffs,  # (6,) f32: axis0 lo/hi, axis1 lo/hi, axis2 lo/hi
+    kappa2,
+    hinv2,
+    omega,
+    seed,  # int32 scalar
+    step,  # int32 scalar
+    noise_mult=1.0,
+    sweep: str = "forward",
+    tile: int = 4,
+    interpret: bool = False,
+    with_noise: bool = True,
+):
+    """(y, rq): fused stochastic from-zero sweep + restricted residual.
+
+    y = one red/black SOR sweep from zero initial guess applied to
+    b~ = b + noise; rq = the 2x2x2-aggregate restriction of b - A y with
+    the lane-dim pair sum still open:
+    ``rc = rq.reshape(n0/2, n1/2, n2/2, 2).sum(-1)``.
+    """
+    N0, N1, N2 = b.shape
+    T = tile
+    while N0 % T or N0 < 2 * T or T % 2:
+        T //= 2
+        if T == 0:
+            raise ValueError(f"grid dim {N0} unsupported")
+    if N0 % 2 or N1 % 2 or N2 % 2:
+        raise ValueError("restriction needs even dims")
+    G = N0 // T
+    color0 = 0 if sweep == "forward" else 1
+
+    fscal = jnp.concatenate(
+        [
+            jnp.asarray([omega], jnp.float32),
+            jnp.asarray(coeffs, jnp.float32).reshape(6),
+            jnp.asarray([noise_mult, kappa2, hinv2], jnp.float32),
+        ]
+    )
+    iscal = jnp.asarray([seed, color0, step], jnp.int32)
+
+    kern = functools.partial(
+        _kernel, T=T, shape=(N0, N1, N2), with_noise=with_noise
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(G + 1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (T, N1, N2),
+                lambda i: (jnp.minimum(i, G - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (T, N1, N2),
+                lambda i: (jnp.maximum(i - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (T // 2, N1 // 2, N2),
+                lambda i: (jnp.maximum(i - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32),
+            jax.ShapeDtypeStruct((N0 // 2, N1 // 2, N2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((T + 4, N1, N2), jnp.float32),  # btw
+            pltpu.VMEM((T, N1, N2), jnp.float32),  # btprev
+            pltpu.VMEM((T, N1, N2), jnp.float32),  # braw
+            pltpu.VMEM((2, N1, N2), jnp.float32),  # tail_bt
+            pltpu.VMEM((T + 4, N1, N2), jnp.float32),  # yw
+        ],
+        interpret=interpret,
+    )(fscal, iscal, b)

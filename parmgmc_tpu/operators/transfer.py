@@ -71,6 +71,11 @@ class AggregateTransfer:
 
     fine_shape: tuple
 
+    # NOTE: the per-axis moveaxis chain below looks clumsy but measures
+    # ~10x faster on TPU than the "one broadcast + interleaving reshape"
+    # formulation — the interleaved minor dims fight the (8,128) tiled
+    # layout and XLA lowers them to lane shuffles.
+
     def prolong(self, xc):
         y = xc
         for axis, nf in enumerate(self.fine_shape):

@@ -215,12 +215,58 @@ class MGMCSampler:
         return x + self._cycle(0, r, noises)
 
     # -- keyed cycle: lets fused-kernel smoothers generate noise on chip ----
+    def _down_fused_eligible(self, l: int) -> bool:
+        """Can level l's whole down-phase (noise + from-zero pre-smooth +
+        residual + restriction) run as ONE Pallas kernel?  Requires the
+        flagship V(1,0) shape: a single forward/backward pre-sweep, no
+        post-sweep, FD-form smoother, plain-aggregation transfer."""
+        if self.n_pre != 1 or self.n_post != 0 or self.gamma != 1:
+            return False
+        if l >= self.n_levels - 1:
+            return False
+        s = self.smoothers[l]
+        if getattr(s, "impl", "lax") != "fused_fd" or s.is_lrc:
+            return False
+        if s.sweep not in ("forward", "backward"):
+            return False
+        if not isinstance(self.transfers[l], AggregateTransfer):
+            return False
+        gshape = self.ops[l].grid_shape
+        return all(d % 2 == 0 for d in gshape)
+
+    def _fused_down(self, l: int, bl, key):
+        """(y, rc, key): fused level-l down-phase (kernels.mg_sweep)."""
+        from parmgmc_tpu.kernels.mg_sweep import fused_zero_gibbs_restrict_fd
+
+        s = self.smoothers[l]
+        key, k1, k2 = jax.random.split(key, 3)
+        seed = jax.random.randint(k1, (), 0, 2**31 - 1, dtype=jnp.int32)
+        step = jax.random.randint(k2, (), 0, 2**31 - 1, dtype=jnp.int32)
+        y, rq = fused_zero_gibbs_restrict_fd(
+            bl,
+            s._coeff6(),
+            s.fd_params[0],
+            s.fd_params[1],
+            s.omega.astype(jnp.float32),
+            seed,
+            step,
+            sweep=s.sweep,
+        )
+        n0, n1, n2 = bl.shape
+        rc = rq.reshape(n0 // 2, n1 // 2, n2 // 2, 2).sum(-1)
+        return y, rc, key
+
     def _cycle_keyed(self, l: int, bl, key):
         if l == self.n_levels - 1:
             x = jnp.zeros_like(bl)
             for i in range(self.n_coarse):
                 key, x = self.coarse.step(key, x, bl)
             return x
+        if self._down_fused_eligible(l):
+            x, r, key = self._fused_down(l, bl, key)
+            key, sub = jax.random.split(key)
+            xc = self._cycle_keyed(l + 1, r, sub)
+            return x + self.transfers[l].prolong(xc)
         op = self.ops[l]
         smoother = self.smoothers[l]
         x = jnp.zeros_like(bl)
@@ -248,6 +294,15 @@ class MGMCSampler:
             for s in self.smoothers
         ):
             r = b - self.fine_op.apply(x)
+            if self._down_fused_eligible(0):
+                # Inline level 0 so the chain update x + y0 + P z1 is ONE
+                # XLA fusion (read x, y0, z1 -> write x') instead of
+                # materialising y0 + P z1 and then adding x in a second
+                # full-grid pass.
+                y0, rc, sub = self._fused_down(0, r, sub)
+                sub, sub2 = jax.random.split(sub)
+                z1 = self._cycle_keyed(1, rc, sub2)
+                return key, x + y0 + self.transfers[0].prolong(z1)
             return key, x + self._cycle_keyed(0, r, sub)
         noises = _draw(sub, self.noise_shapes(), x.dtype)
         return key, self.step_with_noise(x, b, noises)

@@ -55,3 +55,31 @@ def test_fused_fd_sweep_matches_lax(problem, sweep):
     )
     err = float(jnp.abs(ref - out).max() / jnp.abs(ref).max())
     assert err < 1e-5, err
+
+
+@pytest.mark.parametrize("sweep", ["forward", "backward"])
+@pytest.mark.parametrize("shape", [SHAPE, (8, 10, 128)])
+def test_fused_down_phase_matches_lax(sweep, shape):
+    """kernels.mg_sweep: from-zero sweep + residual + restriction must
+    reproduce sor_sweep + apply + AggregateTransfer.restrict exactly."""
+    from parmgmc_tpu.kernels.mg_sweep import fused_zero_gibbs_restrict_fd
+    from parmgmc_tpu.operators.transfer import AggregateTransfer
+
+    op = shifted_laplace_fd(shape, 1.7, dtype=jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(7), shape, jnp.float32)
+    coeffs = jnp.asarray([float(c) for c in op.coeffs], jnp.float32)
+    hinv2 = -float(op.coeffs[0])
+    y, rq = fused_zero_gibbs_restrict_fd(
+        b, coeffs, 1.7**2, hinv2, 1.0, 0, 0,
+        sweep=sweep, interpret=True, with_noise=False,
+    )
+    rc = rq.reshape(
+        shape[0] // 2, shape[1] // 2, shape[2] // 2, 2
+    ).sum(-1)
+    y_ref = sor_sweep(op, b, jnp.zeros_like(b), 1.0, sweep)
+    tr = AggregateTransfer(fine_shape=shape)
+    rc_ref = tr.restrict(b - op.apply(y_ref))
+    ey = float(jnp.abs(y - y_ref).max() / jnp.abs(y_ref).max())
+    erc = float(jnp.abs(rc - rc_ref).max() / jnp.abs(rc_ref).max())
+    assert ey < 1e-5, ey
+    assert erc < 1e-4, erc
