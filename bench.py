@@ -37,7 +37,9 @@ DTYPE = jnp.float32
 # bandwidth.  64 ranks, perfect scaling, free RNG, V(1,0) at 2.57
 # fine-sweep-equivalents/cycle, matched tau=1.07 -> ~69 ESS/sec; rounded
 # UP in the reference's favour.  Model + measurement: BENCH_NOTES.md.
-BASELINE_ESS_PER_SEC = 70.0
+# The anchor is for 256^3; the bandwidth-bound reference scales ~1/N^3
+# at matched tau, so other BENCH_N sizes scale the baseline accordingly.
+BASELINE_ESS_PER_SEC = 70.0 * (256 / N) ** 3
 
 
 def main():

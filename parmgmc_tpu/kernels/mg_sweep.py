@@ -41,16 +41,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from parmgmc_tpu.kernels.rb_gibbs import _mix, _shift_plane
+from parmgmc_tpu.kernels.rb_gibbs import (
+    _auto_tile,
+    _compiler_params,
+    _mix,
+    _shift_plane,
+)
 
-__all__ = ["fused_zero_gibbs_restrict_fd"]
+__all__ = ["fused_zero_gibbs_restrict_fd", "fused_chain_down_fd"]
 
 _TWO_PI = 6.283185307179586
 
 
 def _kernel(
     fscal_ref,  # SMEM (10,) f32: omega, c0lo..c2hi, noise_mult, kappa2, hinv2
-    iscal_ref,  # SMEM (3,) i32: seed, color0, step
+    iscal_ref,  # SMEM (4,) i32: seed, color0, step, row_off
     b_ref,  # VMEM (T, N1, N2) block min(i, G-1) of bl
     y_ref,  # VMEM (T, N1, N2) out block max(i-1, 0)
     rq_ref,  # VMEM (T//2, N1//2, N2) out block max(i-1, 0)
@@ -63,8 +68,13 @@ def _kernel(
     T: int,
     shape: tuple,
     with_noise: bool,
+    n0_global: int,
 ):
+    # Global-row masking/keying: gg = g + row_off vs n0_global (see
+    # kernels.rb_gibbs._kernel_v2) — lets shard_map callers run the
+    # down-phase on halo-extended local blocks.
     N0, N1, N2 = shape
+    N0G = n0_global
     G = N0 // T
     W = T + 4
     i = pl.program_id(0)
@@ -78,6 +88,7 @@ def _kernel(
     seed = iscal_ref[0]
     color0 = iscal_ref[1]
     step = iscal_ref[2]
+    row_off = iscal_ref[3]
     su = seed.astype(jnp.uint32)
     stepu = step.astype(jnp.uint32)
     nscale = jnp.sqrt((2.0 - omega) / omega) * noise_mult
@@ -97,9 +108,10 @@ def _kernel(
     c2lo, c2hi = fscal_ref[5], fscal_ref[6]
 
     def eta_row(g):
-        """N(0,1) plane keyed by (seed, step, global row g) — the same
-        keying as kernels.rb_gibbs so overlap recompute is bit-identical."""
-        gu = g.astype(jnp.uint32)
+        """N(0,1) plane keyed by (seed, step, global row g + row_off) —
+        the same keying as kernels.rb_gibbs so overlap/halo recompute is
+        bit-identical."""
+        gu = (g + row_off).astype(jnp.uint32)
         h = _mix(_mix(su, stepu), gu)
         pltpu.prng_seed(h.astype(jnp.int32))
         bits = pltpu.bitcast(pltpu.prng_random_bits((2, N1, N2)), jnp.uint32)
@@ -110,8 +122,9 @@ def _kernel(
         return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
 
     def diag_row(g):
-        up_ok = (g >= 1).astype(jnp.float32)
-        dn_ok = (g <= N0 - 2).astype(jnp.float32)
+        gg = g + row_off
+        up_ok = (gg >= 1).astype(jnp.float32)
+        dn_ok = (gg <= N0G - 2).astype(jnp.float32)
         return kappa2 + hinv2 * (links_inplane + up_ok + dn_ok)
 
     def btilde_row(braw_plane, g):
@@ -133,7 +146,7 @@ def _kernel(
         # ---- phase 0: from zero, y = (w/D) b~ at colour-0 points ---------
         def p0_row(l, _):
             g = jT + (l - 2)
-            mask = ((g + plane_par) % 2) == color0
+            mask = ((g + row_off + plane_par) % 2) == color0
             yw[l] = jnp.where(mask, (omega / diag_row(g)) * btw[l], 0.0)
             return 0
 
@@ -142,9 +155,10 @@ def _kernel(
         # ---- phase 1: colour-1 points read fresh colour-0 neighbours -----
         def p1_row(l, _):
             g = jT + (l - 2)
+            gg = g + row_off
             yl = yw[l]
-            up_ok = jnp.logical_and(l >= 1, g >= 1).astype(jnp.float32)
-            dn_ok = jnp.logical_and(l <= W - 2, g <= N0 - 2).astype(
+            up_ok = jnp.logical_and(l >= 1, gg >= 1).astype(jnp.float32)
+            dn_ok = jnp.logical_and(l <= W - 2, gg <= N0G - 2).astype(
                 jnp.float32
             )
             up = yw[jnp.maximum(l - 1, 0)]
@@ -158,7 +172,7 @@ def _kernel(
                 + c2hi * _shift_plane(yl, 1, 1, N2)
             )
             upd = (omega / diag_row(g)) * (btw[l] - sumn)
-            mask = ((g + plane_par) % 2) == (1 - color0)
+            mask = ((gg + plane_par) % 2) == (1 - color0)
             yw[l] = jnp.where(mask, upd, yl)
             return 0
 
@@ -174,8 +188,9 @@ def _kernel(
 
             def r_at(lf, gf):
                 ylf = yw[lf]
-                up_ok = (gf >= 1).astype(jnp.float32)
-                dn_ok = (gf <= N0 - 2).astype(jnp.float32)
+                ggf = gf + row_off
+                up_ok = (ggf >= 1).astype(jnp.float32)
+                dn_ok = (ggf <= N0G - 2).astype(jnp.float32)
                 sumn = (
                     c0lo * up_ok * yw[lf - 1]
                     + c0hi * dn_ok * yw[lf + 1]
@@ -219,7 +234,8 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sweep", "tile", "interpret", "with_noise")
+    jax.jit,
+    static_argnames=("sweep", "tile", "interpret", "with_noise", "n0_global"),
 )
 def fused_zero_gibbs_restrict_fd(
     b,
@@ -231,9 +247,11 @@ def fused_zero_gibbs_restrict_fd(
     step,  # int32 scalar
     noise_mult=1.0,
     sweep: str = "forward",
-    tile: int = 4,
+    tile: "int | None" = None,
     interpret: bool = False,
     with_noise: bool = True,
+    row_offset=0,  # global row of array row 0 (traced; shard_map use)
+    n0_global: "int | None" = None,  # global grid extent for masks
 ):
     """(y, rq): fused stochastic from-zero sweep + restricted residual.
 
@@ -241,13 +259,20 @@ def fused_zero_gibbs_restrict_fd(
     b~ = b + noise; rq = the 2x2x2-aggregate restriction of b - A y with
     the lane-dim pair sum still open:
     ``rc = rq.reshape(n0/2, n1/2, n2/2, 2).sum(-1)``.
+
+    ``row_offset``/``n0_global`` let a shard_map caller run the
+    down-phase on a halo-extended local block with masks, colouring and
+    noise keyed by GLOBAL row — see parallel.fused.
     """
     N0, N1, N2 = b.shape
-    T = tile
-    while N0 % T or N0 < 2 * T or T % 2:
+    if n0_global is None:
+        n0_global = N0
+    # VMEM planes: scratch 4T+10 + b/y blocks 4T + rq blocks T/2
+    T = _auto_tile(N0, N1 * N2 * 4, 9, 10, tile, t_min=2)
+    while T and (N0 % T or N0 < 2 * T or T % 2):
         T //= 2
-        if T == 0:
-            raise ValueError(f"grid dim {N0} unsupported")
+    if not T:
+        raise ValueError(f"grid dim {N0} unsupported")
     if N0 % 2 or N1 % 2 or N2 % 2:
         raise ValueError("restriction needs even dims")
     G = N0 // T
@@ -260,10 +285,21 @@ def fused_zero_gibbs_restrict_fd(
             jnp.asarray([noise_mult, kappa2, hinv2], jnp.float32),
         ]
     )
-    iscal = jnp.asarray([seed, color0, step], jnp.int32)
+    iscal = jnp.stack(
+        [
+            jnp.asarray(seed, jnp.int32),
+            jnp.asarray(color0, jnp.int32),
+            jnp.asarray(step, jnp.int32),
+            jnp.asarray(row_offset, jnp.int32),
+        ]
+    )
 
     kern = functools.partial(
-        _kernel, T=T, shape=(N0, N1, N2), with_noise=with_noise
+        _kernel,
+        T=T,
+        shape=(N0, N1, N2),
+        with_noise=with_noise,
+        n0_global=n0_global,
     )
     return pl.pallas_call(
         kern,
@@ -301,4 +337,314 @@ def fused_zero_gibbs_restrict_fd(
             pltpu.VMEM((T + 4, N1, N2), jnp.float32),  # yw
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(fscal, iscal, b)
+
+
+# ---------------------------------------------------------------------------
+# v2: the CHAIN-LEVEL fused down-phase.
+#
+# The MGMC chain step is x' = x + M_mg(b - A x).  The v1 kernel above
+# still needs the fine-grid residual r = b - A x materialised by a
+# separate XLA program (read b + read x + write r = 3 HBM passes) and a
+# final three-array add x' = x + y0 + P z1 (another full read of x).
+# This kernel absorbs both into the level-0 down-phase: it streams x and
+# b once and
+#
+#   1. recomputes r = b - A x row by row inside the sliding window,
+#   2. builds the stochastic RHS r~ = r + sqrt((2-w)/w) D^{1/2} eta
+#      (noise keyed by (seed, step, global row) as everywhere else),
+#   3. runs the from-zero red/black pre-smooth IN PLACE in the r~ buffer
+#      (colour-0 cells hold y after phase 0, colour-1 cells still hold
+#      r~ until phase 1 overwrites them — neighbour reads always land on
+#      the opposite colour, so one buffer serves both phases),
+#   4. emits xpy = x + y0 (the fused state add) and the aggregate-
+#      restricted residual of (r - A y0), lane pair-sum left to XLA.
+#
+# Per chain step the level-0 HBM traffic becomes read x + read b +
+# write xpy + write rq = 3.125 passes, replacing the unfused path's
+# 3 (residual) + 2.125 (v1 down) + 1 extra read in the final add =
+# 6.125 passes, and two XLA program launches disappear.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_chain(
+    fscal_ref,  # SMEM (10,) f32: omega, c0lo..c2hi, noise_mult, kappa2, hinv2
+    iscal_ref,  # SMEM (3,) i32: seed, color0, step
+    x_ref,  # VMEM (T, N1, N2) block min(i, G-1) of the chain state x
+    b_ref,  # VMEM (T, N1, N2) block min(i, G-1) of the chain RHS b
+    xpy_ref,  # VMEM (T, N1, N2) out block max(i-1, 0): x + y0
+    rq_ref,  # VMEM (T//2, N1//2, N2) out block max(i-1, 0)
+    xw,  # scratch (T+6, N1, N2): pre-sweep x rows jT-3 .. jT+T+2
+    bt,  # scratch (T+4, N1, N2): r~ rows jT-2 .. jT+T+1, swept IN PLACE to y
+    xprev,  # scratch (T, N1, N2): x rows jT .. jT+T-1 (from last step)
+    bprev,  # scratch (T, N1, N2): b rows jT .. jT+T-1 (from last step)
+    tail_x,  # scratch (3, N1, N2): x rows jT-3 .. jT-1
+    tail_b,  # scratch (2, N1, N2): b rows jT-2 .. jT-1
+    *,
+    T: int,
+    shape: tuple,
+    with_noise: bool,
+):
+    N0, N1, N2 = shape
+    G = N0 // T
+    W = T + 4
+    i = pl.program_id(0)
+    j = i - 1  # tile being produced
+    jT = j * T
+
+    omega = fscal_ref[0]
+    noise_mult = fscal_ref[7]
+    kappa2 = fscal_ref[8]
+    hinv2 = fscal_ref[9]
+    seed = iscal_ref[0]
+    color0 = iscal_ref[1]
+    step = iscal_ref[2]
+    su = seed.astype(jnp.uint32)
+    stepu = step.astype(jnp.uint32)
+    nscale = jnp.sqrt((2.0 - omega) / omega) * noise_mult
+
+    jj = jax.lax.broadcasted_iota(jnp.int32, (N1, N2), 0)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (N1, N2), 1)
+    plane_par = (jj + kk) % 2
+    links_inplane = (
+        (jj >= 1).astype(jnp.float32)
+        + (jj <= N1 - 2).astype(jnp.float32)
+        + (kk >= 1).astype(jnp.float32)
+        + (kk <= N2 - 2).astype(jnp.float32)
+    )
+
+    c0lo, c0hi = fscal_ref[1], fscal_ref[2]
+    c1lo, c1hi = fscal_ref[3], fscal_ref[4]
+    c2lo, c2hi = fscal_ref[5], fscal_ref[6]
+
+    def eta_row(g):
+        gu = g.astype(jnp.uint32)
+        h = _mix(_mix(su, stepu), gu)
+        pltpu.prng_seed(h.astype(jnp.int32))
+        bits = pltpu.bitcast(pltpu.prng_random_bits((2, N1, N2)), jnp.uint32)
+        hi1 = pltpu.bitcast(bits[0] >> 9, jnp.int32)
+        hi2 = pltpu.bitcast(bits[1] >> 9, jnp.int32)
+        u1 = hi1.astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-7
+        u2 = hi2.astype(jnp.float32) * (1.0 / (1 << 23))
+        return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+
+    def diag_row(g):
+        up_ok = (g >= 1).astype(jnp.float32)
+        dn_ok = (g <= N0 - 2).astype(jnp.float32)
+        return kappa2 + hinv2 * (links_inplane + up_ok + dn_ok)
+
+    def apply_row(w, l, g):
+        """(A v)|row g from a window w whose row l holds v[g]."""
+        vl = w[l]
+        up_ok = (g >= 1).astype(jnp.float32)
+        dn_ok = (g <= N0 - 2).astype(jnp.float32)
+        return (
+            diag_row(g) * vl
+            + c0lo * up_ok * w[l - 1]
+            + c0hi * dn_ok * w[l + 1]
+            + c1lo * _shift_plane(vl, 0, -1, N1)
+            + c1hi * _shift_plane(vl, 0, 1, N1)
+            + c2lo * _shift_plane(vl, 1, -1, N2)
+            + c2hi * _shift_plane(vl, 1, 1, N2)
+        )
+
+    def rtilde_row(braw_plane, l):
+        """r~ row: (b - A x)|g + noise, g = jT + l - 2 (xw row l+1)."""
+        g = jT + (l - 2)
+        r = braw_plane - apply_row(xw, l + 1, g)
+        if with_noise:
+            r = r + nscale * jnp.sqrt(diag_row(g)) * eta_row(g)
+        return r
+
+    @pl.when(i > 0)
+    def _compute():
+        # ---- assemble the pre-sweep x window rows jT-3 .. jT+T+2 ---------
+        xw[0] = tail_x[0]
+        xw[1] = tail_x[1]
+        xw[2] = tail_x[2]
+        xw[pl.ds(3, T)] = xprev[:]
+        xw[T + 3] = x_ref[0]
+        xw[T + 4] = x_ref[jnp.minimum(1, T - 1)]
+        xw[T + 5] = x_ref[jnp.minimum(2, T - 1)]
+
+        # ---- r~ = (b - A x) + noise, rows jT-2 .. jT+T+1 ------------------
+        bt[0] = rtilde_row(tail_b[0], 0)
+        bt[1] = rtilde_row(tail_b[1], 1)
+
+        def rt_mid(l, _):
+            bt[l] = rtilde_row(bprev[l - 2], l)
+            return 0
+
+        jax.lax.fori_loop(2, T + 2, rt_mid, 0, unroll=False)
+        bt[T + 2] = rtilde_row(b_ref[0], T + 2)
+        bt[T + 3] = rtilde_row(b_ref[jnp.minimum(1, T - 1)], T + 3)
+
+        # ---- phase 0 IN PLACE: colour-0 cells become y = (w/D) r~ --------
+        def p0_row(l, _):
+            g = jT + (l - 2)
+            mask = ((g + plane_par) % 2) == color0
+            bt[l] = jnp.where(mask, (omega / diag_row(g)) * bt[l], bt[l])
+            return 0
+
+        jax.lax.fori_loop(0, W, p0_row, 0, unroll=False)
+
+        # ---- phase 1 IN PLACE: colour-1 cells read fresh colour-0 y ------
+        def p1_row(l, _):
+            g = jT + (l - 2)
+            yl = bt[l]
+            up_ok = jnp.logical_and(l >= 1, g >= 1).astype(jnp.float32)
+            dn_ok = jnp.logical_and(l <= W - 2, g <= N0 - 2).astype(
+                jnp.float32
+            )
+            sumn = (
+                c0lo * up_ok * bt[jnp.maximum(l - 1, 0)]
+                + c0hi * dn_ok * bt[jnp.minimum(l + 1, W - 1)]
+                + c1lo * _shift_plane(yl, 0, -1, N1)
+                + c1hi * _shift_plane(yl, 0, 1, N1)
+                + c2lo * _shift_plane(yl, 1, -1, N2)
+                + c2hi * _shift_plane(yl, 1, 1, N2)
+            )
+            upd = (omega / diag_row(g)) * (yl - sumn)
+            mask = ((g + plane_par) % 2) == (1 - color0)
+            bt[l] = jnp.where(mask, upd, yl)
+            return 0
+
+        jax.lax.fori_loop(1, W - 1, p1_row, 0, unroll=False)
+
+        # ---- xpy = x + y0 (the fused chain-state add) --------------------
+        xpy_ref[:] = xprev[:] + bt[pl.ds(2, T)]
+
+        # ---- restricted residual of (r - A y0) ---------------------------
+        def r2_at(l):
+            g = jT + (l - 2)
+            r_raw = bprev[l - 2] - apply_row(xw, l + 1, g)
+            return r_raw - apply_row(bt, l, g)
+
+        def res_pair(c, _):
+            l = 2 + 2 * c
+            rp = r2_at(l) + r2_at(l + 1)
+            rq_ref[c] = rp.reshape(N1 // 2, 2, N2).sum(1)
+            return 0
+
+        jax.lax.fori_loop(0, T // 2, res_pair, 0, unroll=False)
+
+    @pl.when(i == 0)
+    def _init():
+        # rows -3..-1 don't exist for tile 0; zero tails (their masked
+        # contributions must stay finite)
+        tail_x[0] = jnp.zeros((N1, N2), jnp.float32)
+        tail_x[1] = jnp.zeros((N1, N2), jnp.float32)
+        tail_x[2] = jnp.zeros((N1, N2), jnp.float32)
+        tail_b[0] = jnp.zeros((N1, N2), jnp.float32)
+        tail_b[1] = jnp.zeros((N1, N2), jnp.float32)
+        xpy_ref[:] = x_ref[:]  # overwritten at step 1
+        rq_ref[:] = jnp.zeros((T // 2, N1 // 2, N2), jnp.float32)
+
+    @pl.when(jnp.logical_and(i > 0, i < G))
+    def _slide_tails():
+        tail_x[0] = xprev[T - 3]
+        tail_x[1] = xprev[T - 2]
+        tail_x[2] = xprev[T - 1]
+        tail_b[0] = bprev[T - 2]
+        tail_b[1] = bprev[T - 1]
+
+    @pl.when(i < G)
+    def _slide():
+        xprev[:] = x_ref[:]
+        bprev[:] = b_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sweep", "tile", "interpret", "with_noise")
+)
+def fused_chain_down_fd(
+    x,
+    b,
+    coeffs,  # (6,) f32: axis0 lo/hi, axis1 lo/hi, axis2 lo/hi
+    kappa2,
+    hinv2,
+    omega,
+    seed,  # int32 scalar
+    step,  # int32 scalar
+    noise_mult=1.0,
+    sweep: str = "forward",
+    tile: "int | None" = None,
+    interpret: bool = False,
+    with_noise: bool = True,
+):
+    """(xpy, rq): fused chain-level MGMC down-phase.
+
+    xpy = x + y0 where y0 is one stochastic red/black SOR sweep from zero
+    applied to r~ = (b - A x) + noise; rq is the 2x2x2-aggregate
+    restriction of (b - A x) - A y0 with the lane pair-sum still open:
+    ``rc = rq.reshape(n0/2, n1/2, n2/2, 2).sum(-1)``.
+    """
+    N0, N1, N2 = x.shape
+    # VMEM planes: scratch 4T+15 + x/b/xpy blocks 6T + rq blocks T/2
+    T = _auto_tile(N0, N1 * N2 * 4, 10.5, 15, tile)
+    while T >= 4 and (N0 % T or N0 < 2 * T or T % 2):
+        T //= 2
+    if T < 4 or N0 % T or N0 < 2 * T:
+        raise ValueError(f"grid dim {N0} unsupported (need N0 % 4 == 0, >= 8)")
+    if N0 % 2 or N1 % 2 or N2 % 2:
+        raise ValueError("restriction needs even dims")
+    G = N0 // T
+    color0 = 0 if sweep == "forward" else 1
+
+    fscal = jnp.concatenate(
+        [
+            jnp.asarray([omega], jnp.float32),
+            jnp.asarray(coeffs, jnp.float32).reshape(6),
+            jnp.asarray([noise_mult, kappa2, hinv2], jnp.float32),
+        ]
+    )
+    iscal = jnp.asarray([seed, color0, step], jnp.int32)
+
+    kern = functools.partial(
+        _kernel_chain, T=T, shape=(N0, N1, N2), with_noise=with_noise
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(G + 1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (T, N1, N2),
+                lambda i: (jnp.minimum(i, G - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (T, N1, N2),
+                lambda i: (jnp.minimum(i, G - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (T, N1, N2),
+                lambda i: (jnp.maximum(i - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (T // 2, N1 // 2, N2),
+                lambda i: (jnp.maximum(i - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32),
+            jax.ShapeDtypeStruct((N0 // 2, N1 // 2, N2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((T + 6, N1, N2), jnp.float32),  # xw
+            pltpu.VMEM((T + 4, N1, N2), jnp.float32),  # bt (r~ -> y)
+            pltpu.VMEM((T, N1, N2), jnp.float32),  # xprev
+            pltpu.VMEM((T, N1, N2), jnp.float32),  # bprev
+            pltpu.VMEM((3, N1, N2), jnp.float32),  # tail_x
+            pltpu.VMEM((2, N1, N2), jnp.float32),  # tail_b
+        ],
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(fscal, iscal, x, b)

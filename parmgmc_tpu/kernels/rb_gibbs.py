@@ -38,6 +38,34 @@ __all__ = ["fused_rb_gibbs_sweep", "fused_rb_gibbs_sweep_fd"]
 
 _TWO_PI = 6.283185307179586
 
+# The default Mosaic scoped-vmem limit is 16 MiB, but the attached v5e
+# accepts >= 100 MiB of kernel VMEM (measured by bisection; see
+# CLAUDE.md).  All sweep kernels request this budget so whole-plane
+# sliding windows keep working up to 512^2 planes (~1 MiB/plane).
+VMEM_LIMIT = 110 * 1024 * 1024
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+
+
+def _auto_tile(n0, plane_bytes, coef, const, requested, t_min=4, n0_min_mult=2):
+    """Largest power-of-2 tile T <= 32 such that N0 % T == 0,
+    N0 >= n0_min_mult*T, and the kernel's VMEM footprint
+    (coef*T + const) planes fits the budget.  Bigger tiles amortise the
+    per-step window-assembly copies (measured: T=4 -> 16 is ~20% faster
+    at 256^3); smaller tiles keep 512^2 planes inside VMEM."""
+    if requested is not None:
+        return requested
+    budget = int(VMEM_LIMIT * 0.85)
+    t_cap = max(t_min, int((budget / plane_bytes - const) / coef))
+    T = 32
+    while T >= t_min:
+        if T <= t_cap and n0 % T == 0 and n0 >= n0_min_mult * T:
+            return T
+        T //= 2
+    return t_min  # let the wrapper's validity check raise
+
 
 def _mix(a, b):
     """splitmix-style avalanche of two uint32s -> uint32."""
@@ -229,6 +257,7 @@ def fused_rb_gibbs_sweep(
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(fscal, iscal, x, b, diag)
 
 
@@ -251,7 +280,7 @@ def fused_rb_gibbs_sweep(
 
 def _kernel_v2(
     fscal_ref,  # SMEM (10,) f32: omega, c0lo..c2hi, noise_mult, kappa2, hinv2
-    iscal_ref,  # SMEM (3,) i32: seed, color0, step
+    iscal_ref,  # SMEM (4,) i32: seed, color0, step, row_off
     x_ref,  # VMEM (T, N1, N2) block min(i, G-1)
     b_ref,  # VMEM (T, N1, N2) block min(i, G-1)
     o_ref,  # VMEM (T, N1, N2) block max(i-1, 0)
@@ -265,8 +294,16 @@ def _kernel_v2(
     T: int,
     shape: tuple,
     with_noise: bool,
+    n0_global: int,
 ):
+    # Rows are masked/keyed by GLOBAL row gg = g + row_off against the
+    # GLOBAL extent n0_global: on one device row_off = 0 and
+    # n0_global = N0; under shard_map the caller passes a halo-extended
+    # local block with row_off = shard_start - halo, so boundary masks,
+    # the red/black colouring, the FD diagonal and the noise stream all
+    # agree with the single-device sweep.
     N0, N1, N2 = shape
+    N0G = n0_global
     G = N0 // T
     i = pl.program_id(0)
     j = i - 1  # tile being produced
@@ -279,6 +316,7 @@ def _kernel_v2(
     seed = iscal_ref[0]
     color0 = iscal_ref[1]
     step = iscal_ref[2]
+    row_off = iscal_ref[3]
     su = seed.astype(jnp.uint32)
     stepu = step.astype(jnp.uint32)
     nscale = jnp.sqrt((2.0 - omega) / omega) * noise_mult
@@ -298,8 +336,8 @@ def _kernel_v2(
     c2lo, c2hi = fscal_ref[5], fscal_ref[6]
 
     def eta_row(g):
-        """N(0,1) plane keyed by (seed, step, global row g)."""
-        gu = g.astype(jnp.uint32)
+        """N(0,1) plane keyed by (seed, step, global row g + row_off)."""
+        gu = (g + row_off).astype(jnp.uint32)
         h = _mix(_mix(su, stepu), gu)
         pltpu.prng_seed(h.astype(jnp.int32))
         bits = pltpu.bitcast(pltpu.prng_random_bits((2, N1, N2)), jnp.uint32)
@@ -310,8 +348,9 @@ def _kernel_v2(
         return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
 
     def diag_row(g):
-        up_ok = (g >= 1).astype(jnp.float32)
-        dn_ok = (g <= N0 - 2).astype(jnp.float32)
+        gg = g + row_off
+        up_ok = (gg >= 1).astype(jnp.float32)
+        dn_ok = (gg <= N0G - 2).astype(jnp.float32)
         return kappa2 + hinv2 * (links_inplane + up_ok + dn_ok)
 
     def btilde_row(braw, g):
@@ -333,11 +372,12 @@ def _kernel_v2(
 
         def phase(color, lo, hi):
             def row(l, _):
-                g = jT + (l - 2)  # xw row l <-> global jT - 2 + l
+                g = jT + (l - 2)  # xw row l <-> array row jT - 2 + l
+                gg = g + row_off
                 xl = xw[l]
-                up_ok = jnp.logical_and(l >= 1, g >= 1).astype(jnp.float32)
+                up_ok = jnp.logical_and(l >= 1, gg >= 1).astype(jnp.float32)
                 dn_ok = jnp.logical_and(
-                    l <= T + 2, g <= N0 - 2
+                    l <= T + 2, gg <= N0G - 2
                 ).astype(jnp.float32)
                 up = xw[jnp.maximum(l - 1, 0)]
                 dn = xw[jnp.minimum(l + 1, T + 3)]
@@ -351,7 +391,7 @@ def _kernel_v2(
                 )
                 dg = diag_row(g)
                 upd = (1.0 - omega) * xl + (omega / dg) * (bw[l - 1] - sumn)
-                mask = ((g + plane_par) % 2) == color
+                mask = ((gg + plane_par) % 2) == color
                 xw[l] = jnp.where(mask, upd, xl)
                 return 0
 
@@ -390,7 +430,8 @@ def _kernel_v2(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sweep", "tile", "interpret", "with_noise")
+    jax.jit,
+    static_argnames=("sweep", "tile", "interpret", "with_noise", "n0_global"),
 )
 def fused_rb_gibbs_sweep_fd(
     x,
@@ -403,22 +444,31 @@ def fused_rb_gibbs_sweep_fd(
     step,
     noise_mult=1.0,
     sweep: str = "forward",
-    tile: int = 4,
+    tile: "int | None" = None,
     interpret: bool = False,
     with_noise: bool = True,
+    row_offset=0,  # global row of array row 0 (traced; shard_map use)
+    n0_global: "int | None" = None,  # global grid extent for masks
 ):
     """Pipelined fused sweep for FD shifted-Laplace operators.
 
     Like :func:`fused_rb_gibbs_sweep` but software-pipelined (every input
     byte fetched once) and with the diagonal recomputed in-kernel from
     the link-count formula — no diag HBM traffic.
+
+    ``row_offset``/``n0_global`` let a shard_map caller sweep a
+    halo-extended local block while keying noise, boundary masks and the
+    red/black colouring by GLOBAL row — see parallel.fused.
     """
     N0, N1, N2 = x.shape
-    T = tile
-    while N0 % T or N0 < 2 * T:
+    if n0_global is None:
+        n0_global = N0
+    # VMEM planes: scratch 4T+9 + double-buffered x/b/out blocks 6T
+    T = _auto_tile(N0, N1 * N2 * 4, 10, 9, tile, t_min=2)
+    while T and (N0 % T or N0 < 2 * T):
         T //= 2
-        if T == 0:
-            raise ValueError(f"grid dim {N0} unsupported")
+    if not T:
+        raise ValueError(f"grid dim {N0} unsupported")
     G = N0 // T
     color0 = 0 if sweep == "forward" else 1
 
@@ -429,10 +479,21 @@ def fused_rb_gibbs_sweep_fd(
             jnp.asarray([noise_mult, kappa2, hinv2], jnp.float32),
         ]
     )
-    iscal = jnp.asarray([seed, color0, step], jnp.int32)
+    iscal = jnp.stack(
+        [
+            jnp.asarray(seed, jnp.int32),
+            jnp.asarray(color0, jnp.int32),
+            jnp.asarray(step, jnp.int32),
+            jnp.asarray(row_offset, jnp.int32),
+        ]
+    )
 
     kern = functools.partial(
-        _kernel_v2, T=T, shape=(N0, N1, N2), with_noise=with_noise
+        _kernel_v2,
+        T=T,
+        shape=(N0, N1, N2),
+        with_noise=with_noise,
+        n0_global=n0_global,
     )
     return pl.pallas_call(
         kern,
@@ -466,4 +527,5 @@ def fused_rb_gibbs_sweep_fd(
             pltpu.VMEM((1, N1, N2), jnp.float32),  # tail_b
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(fscal, iscal, x, b)

@@ -108,9 +108,12 @@ def _fused_eligible(base) -> bool:
         and base.grid_shape[0] % 2 == 0
         and base.grid_shape[0] >= 8
         and base.grid_shape[2] % 128 == 0
-        # kernel scratch is whole (N1, N2) planes; beyond 256^2 the
-        # sliding window exceeds VMEM (2D tiling is a later round)
-        and base.grid_shape[1] * base.grid_shape[2] <= 256 * 256
+        # kernel scratch is whole (N1, N2) planes: the worst kernel
+        # (fused_chain_down_fd) holds ~64 plane-equivalents of VMEM, and
+        # the chip accepts ~110 MiB of scoped vmem (kernels.rb_gibbs
+        # VMEM_LIMIT) -> planes up to ~448K points; 512^2 fits with
+        # margin, 768^2 does not (2D tiling would be needed there)
+        and base.grid_shape[1] * base.grid_shape[2] <= 448 * 1024
     )
 
 

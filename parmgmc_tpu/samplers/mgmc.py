@@ -256,6 +256,35 @@ class MGMCSampler:
         rc = rq.reshape(n0 // 2, n1 // 2, n2 // 2, 2).sum(-1)
         return y, rc, key
 
+    def _fused_chain_down(self, x, b, key):
+        """(xpy, rc, key): fused chain-level down-phase at level 0.
+
+        One kernel streams the chain state x and RHS b and produces
+        xpy = x + y0 (pre-smooth of r = b - A x from zero) plus the
+        restricted residual — the residual program and the final
+        three-array add both disappear (kernels.mg_sweep _kernel_chain).
+        """
+        from parmgmc_tpu.kernels.mg_sweep import fused_chain_down_fd
+
+        s = self.smoothers[0]
+        key, k1, k2 = jax.random.split(key, 3)
+        seed = jax.random.randint(k1, (), 0, 2**31 - 1, dtype=jnp.int32)
+        step = jax.random.randint(k2, (), 0, 2**31 - 1, dtype=jnp.int32)
+        xpy, rq = fused_chain_down_fd(
+            x,
+            b,
+            s._coeff6(),
+            s.fd_params[0],
+            s.fd_params[1],
+            s.omega.astype(jnp.float32),
+            seed,
+            step,
+            sweep=s.sweep,
+        )
+        n0, n1, n2 = x.shape
+        rc = rq.reshape(n0 // 2, n1 // 2, n2 // 2, 2).sum(-1)
+        return xpy, rc, key
+
     def _cycle_keyed(self, l: int, bl, key):
         if l == self.n_levels - 1:
             x = jnp.zeros_like(bl)
@@ -293,12 +322,18 @@ class MGMCSampler:
             getattr(s, "impl", "lax") in ("fused", "fused_fd")
             for s in self.smoothers
         ):
+            if self._down_fused_eligible(0) and self.grid_shape[0] % 4 == 0:
+                # Level 0 runs the chain-level kernel: the fine residual,
+                # noise, pre-smooth and state add are one pallas_call, so
+                # the chain update is xpy + P z1 (one XLA fusion).
+                xpy, rc, sub = self._fused_chain_down(x, b, sub)
+                sub, sub2 = jax.random.split(sub)
+                z1 = self._cycle_keyed(1, rc, sub2)
+                return key, xpy + self.transfers[0].prolong(z1)
             r = b - self.fine_op.apply(x)
             if self._down_fused_eligible(0):
-                # Inline level 0 so the chain update x + y0 + P z1 is ONE
-                # XLA fusion (read x, y0, z1 -> write x') instead of
-                # materialising y0 + P z1 and then adding x in a second
-                # full-grid pass.
+                # Chain kernel needs N0 % 4 == 0; fall back to the v1
+                # down kernel with the state add fused by XLA.
                 y0, rc, sub = self._fused_down(0, r, sub)
                 sub, sub2 = jax.random.split(sub)
                 z1 = self._cycle_keyed(1, rc, sub2)

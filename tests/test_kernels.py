@@ -83,3 +83,34 @@ def test_fused_down_phase_matches_lax(sweep, shape):
     erc = float(jnp.abs(rc - rc_ref).max() / jnp.abs(rc_ref).max())
     assert ey < 1e-5, ey
     assert erc < 1e-4, erc
+
+
+@pytest.mark.parametrize("sweep", ["forward", "backward"])
+@pytest.mark.parametrize("shape", [SHAPE, (8, 8, 128)])
+def test_fused_chain_down_matches_lax(sweep, shape):
+    """kernels.mg_sweep._kernel_chain: residual + from-zero sweep + state
+    add + restriction must reproduce the lax composition exactly."""
+    from parmgmc_tpu.kernels.mg_sweep import fused_chain_down_fd
+    from parmgmc_tpu.operators.transfer import AggregateTransfer
+
+    op = shifted_laplace_fd(shape, 1.7, dtype=jnp.float32)
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, shape, jnp.float32)
+    b = jax.random.normal(jax.random.fold_in(key, 1), shape, jnp.float32)
+    coeffs = jnp.asarray([float(c) for c in op.coeffs], jnp.float32)
+    hinv2 = -float(op.coeffs[0])
+    xpy, rq = fused_chain_down_fd(
+        x, b, coeffs, 1.7**2, hinv2, 1.0, 0, 0,
+        sweep=sweep, interpret=True, with_noise=False,
+    )
+    rc = rq.reshape(
+        shape[0] // 2, shape[1] // 2, shape[2] // 2, 2
+    ).sum(-1)
+    r_ref = b - op.apply(x)
+    y_ref = sor_sweep(op, r_ref, jnp.zeros_like(b), 1.0, sweep)
+    tr = AggregateTransfer(fine_shape=shape)
+    rc_ref = tr.restrict(r_ref - op.apply(y_ref))
+    exy = float(jnp.abs(xpy - (x + y_ref)).max() / jnp.abs(x + y_ref).max())
+    erc = float(jnp.abs(rc - rc_ref).max() / jnp.abs(rc_ref).max())
+    assert exy < 1e-5, exy
+    assert erc < 1e-4, erc
