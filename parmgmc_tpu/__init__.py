@@ -21,3 +21,4 @@ from parmgmc_tpu.samplers.gibbs import GibbsSampler  # noqa: E402,F401
 from parmgmc_tpu.samplers.mgmc import MGMCSampler  # noqa: E402,F401
 from parmgmc_tpu.samplers.woodbury import WoodburySampler  # noqa: E402,F401
 from parmgmc_tpu.samplers.registry import build_sampler  # noqa: E402,F401
+from parmgmc_tpu.describe import describe  # noqa: E402,F401

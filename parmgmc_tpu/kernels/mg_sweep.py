@@ -44,6 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 from parmgmc_tpu.kernels.rb_gibbs import (
     _auto_tile,
     _compiler_params,
+    _eta_pair,
+    _eta_row,
     _mix,
     _shift_plane,
 )
@@ -108,18 +110,10 @@ def _kernel(
     c2lo, c2hi = fscal_ref[5], fscal_ref[6]
 
     def eta_row(g):
-        """N(0,1) plane keyed by (seed, step, global row g + row_off) —
-        the same keying as kernels.rb_gibbs so overlap/halo recompute is
-        bit-identical."""
-        gu = (g + row_off).astype(jnp.uint32)
-        h = _mix(_mix(su, stepu), gu)
-        pltpu.prng_seed(h.astype(jnp.int32))
-        bits = pltpu.bitcast(pltpu.prng_random_bits((2, N1, N2)), jnp.uint32)
-        hi1 = pltpu.bitcast(bits[0] >> 9, jnp.int32)
-        hi2 = pltpu.bitcast(bits[1] >> 9, jnp.int32)
-        u1 = hi1.astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-7
-        u2 = hi2.astype(jnp.float32) * (1.0 / (1 << 23))
-        return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+        """N(0,1) plane for GLOBAL row g + row_off from the paired
+        stream (kernels.rb_gibbs._eta_pair keying, so overlap/halo
+        recompute stays bit-identical across tiles and shards)."""
+        return _eta_row(su, stepu, g + row_off, N1, N2)
 
     def diag_row(g):
         gg = g + row_off
@@ -139,9 +133,20 @@ def _kernel(
         btw[1] = tail_bt[1]
         btw[pl.ds(2, T)] = btprev[:]
         # rows jT+T, jT+T+1 come fresh from the current block (recomputed
-        # bit-identically in next step's slide)
-        btw[T + 2] = btilde_row(b_ref[0], jT + T)
-        btw[T + 3] = btilde_row(b_ref[jnp.minimum(1, T - 1)], jT + T + 1)
+        # bit-identically in next step's slide); they form an aligned
+        # pair, so one Box-Muller evaluation serves both
+        if with_noise:
+            ee, eo = _eta_pair(su, stepu, jT + T + row_off, N1, N2)
+            btw[T + 2] = (
+                b_ref[0] + nscale * jnp.sqrt(diag_row(jT + T)) * ee
+            )
+            btw[T + 3] = (
+                b_ref[jnp.minimum(1, T - 1)]
+                + nscale * jnp.sqrt(diag_row(jT + T + 1)) * eo
+            )
+        else:
+            btw[T + 2] = b_ref[0]
+            btw[T + 3] = b_ref[jnp.minimum(1, T - 1)]
 
         # ---- phase 0: from zero, y = (w/D) b~ at colour-0 points ---------
         def p0_row(l, _):
@@ -226,11 +231,21 @@ def _kernel(
     def _slide():
         braw[:] = b_ref[:]
 
-        def brow(r, _):
-            btprev[r] = btilde_row(b_ref[r], i * T + r)
+        def brow(c, _):
+            r = 2 * c
+            g = i * T + r
+            if with_noise:
+                ee, eo = _eta_pair(su, stepu, g + row_off, N1, N2)
+                btprev[r] = b_ref[r] + nscale * jnp.sqrt(diag_row(g)) * ee
+                btprev[r + 1] = (
+                    b_ref[r + 1] + nscale * jnp.sqrt(diag_row(g + 1)) * eo
+                )
+            else:
+                btprev[r] = b_ref[r]
+                btprev[r + 1] = b_ref[r + 1]
             return 0
 
-        jax.lax.fori_loop(0, T, brow, 0, unroll=False)
+        jax.lax.fori_loop(0, T // 2, brow, 0, unroll=False)
 
 
 @functools.partial(
@@ -418,17 +433,6 @@ def _kernel_chain(
     c1lo, c1hi = fscal_ref[3], fscal_ref[4]
     c2lo, c2hi = fscal_ref[5], fscal_ref[6]
 
-    def eta_row(g):
-        gu = g.astype(jnp.uint32)
-        h = _mix(_mix(su, stepu), gu)
-        pltpu.prng_seed(h.astype(jnp.int32))
-        bits = pltpu.bitcast(pltpu.prng_random_bits((2, N1, N2)), jnp.uint32)
-        hi1 = pltpu.bitcast(bits[0] >> 9, jnp.int32)
-        hi2 = pltpu.bitcast(bits[1] >> 9, jnp.int32)
-        u1 = hi1.astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-7
-        u2 = hi2.astype(jnp.float32) * (1.0 / (1 << 23))
-        return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
-
     def diag_row(g):
         up_ok = (g >= 1).astype(jnp.float32)
         dn_ok = (g <= N0 - 2).astype(jnp.float32)
@@ -449,13 +453,20 @@ def _kernel_chain(
             + c2hi * _shift_plane(vl, 1, 1, N2)
         )
 
-    def rtilde_row(braw_plane, l):
-        """r~ row: (b - A x)|g + noise, g = jT + l - 2 (xw row l+1)."""
+    def bt_pair(l, braw_e, braw_o):
+        """bt rows l, l+1: r~ = (b - A x)|g + noise for the aligned row
+        pair g = jT + l - 2 (xw row l+1).  Window corners are even
+        offsets from even jT, so every bt row belongs to an aligned pair
+        and one Box-Muller evaluation serves two rows."""
         g = jT + (l - 2)
-        r = braw_plane - apply_row(xw, l + 1, g)
+        re = braw_e - apply_row(xw, l + 1, g)
+        ro = braw_o - apply_row(xw, l + 2, g + 1)
         if with_noise:
-            r = r + nscale * jnp.sqrt(diag_row(g)) * eta_row(g)
-        return r
+            ee, eo = _eta_pair(su, stepu, g, N1, N2)
+            re = re + nscale * jnp.sqrt(diag_row(g)) * ee
+            ro = ro + nscale * jnp.sqrt(diag_row(g + 1)) * eo
+        bt[l] = re
+        bt[l + 1] = ro
 
     @pl.when(i > 0)
     def _compute():
@@ -469,16 +480,15 @@ def _kernel_chain(
         xw[T + 5] = x_ref[jnp.minimum(2, T - 1)]
 
         # ---- r~ = (b - A x) + noise, rows jT-2 .. jT+T+1 ------------------
-        bt[0] = rtilde_row(tail_b[0], 0)
-        bt[1] = rtilde_row(tail_b[1], 1)
+        bt_pair(0, tail_b[0], tail_b[1])
 
-        def rt_mid(l, _):
-            bt[l] = rtilde_row(bprev[l - 2], l)
+        def rt_mid(c, _):
+            l = 2 + 2 * c
+            bt_pair(l, bprev[l - 2], bprev[l - 1])
             return 0
 
-        jax.lax.fori_loop(2, T + 2, rt_mid, 0, unroll=False)
-        bt[T + 2] = rtilde_row(b_ref[0], T + 2)
-        bt[T + 3] = rtilde_row(b_ref[jnp.minimum(1, T - 1)], T + 3)
+        jax.lax.fori_loop(0, T // 2, rt_mid, 0, unroll=False)
+        bt_pair(T + 2, b_ref[0], b_ref[jnp.minimum(1, T - 1)])
 
         # ---- phase 0 IN PLACE: colour-0 cells become y = (w/D) r~ --------
         def p0_row(l, _):

@@ -76,3 +76,23 @@ def test_sample_until_converged():
     )
     assert rhat < 1.05, rhat
     assert trace.shape[0] == 8 and trace.shape[1] == steps
+
+
+def test_describe_summarises_composed_samplers():
+    """PCView analogue: the summary reports levels, colours, omega, impl
+    and factor sizes of a composed config (pc_mcgibbs.c:257-266,
+    pc_chols.c:383-396)."""
+    import jax.numpy as jnp
+
+    from parmgmc_tpu.describe import describe
+    from parmgmc_tpu.operators.stencil import shifted_laplace_fd
+    from parmgmc_tpu.samplers.mgmc import MGMCSampler
+
+    op = shifted_laplace_fd((16, 16), 2.0, dtype=jnp.float64)
+    smp = MGMCSampler.create(op, n_levels=2, omega=1.4, coarsening="aggregate")
+    txt = describe(smp)
+    assert "MGMCSampler: 2 levels" in txt
+    assert "omega=1.4" in txt
+    assert "2 colours" in txt
+    assert "CholeskySampler: dense factor" in txt
+    assert "AggregateTransfer" in txt
