@@ -96,6 +96,13 @@ def describe(sampler, _indent: int = 0) -> str:
             f"{k}-node star patches, {sampler.ncolor_base ** d} colours, "
             f"on-the-fly unrolled {k}x{k} Cholesky (SoA)"
         )
+    elif t == "GraphPatchGibbsSampler":
+        lines.append(
+            f"{pad}GraphPatchGibbsSampler on {_op_line(sampler.base)}: "
+            f"vertex-star patches (kmax={sampler.kmax}), "
+            f"{sampler.ncolors} distance-4 colours, "
+            f"on-the-fly unrolled Cholesky (SoA)"
+        )
     elif t == "WoodburySampler":
         k = sampler.B.shape[-1]
         lines.append(f"{pad}WoodburySampler: rank-{k} update; inner sampler:")

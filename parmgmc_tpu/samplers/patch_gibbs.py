@@ -38,7 +38,7 @@ from parmgmc_tpu._pytree import pytree_dataclass
 from parmgmc_tpu.operators.stencil import StencilOperator
 from parmgmc_tpu.samplers.gibbs import _draw
 
-__all__ = ["PatchGibbsSampler"]
+__all__ = ["PatchGibbsSampler", "GraphPatchGibbsSampler"]
 
 
 def _shift(x, off, fill=0.0):
@@ -285,6 +285,199 @@ class PatchGibbsSampler:
 
         xp = jax.lax.fori_loop(0, m**d, pass_body, padg(x), unroll=False)
         return jax.lax.dynamic_slice(xp, (m,) * d, shape)
+
+    def prepare(self, b):
+        return None
+
+    def step(self, key, x, b, aux=None):
+        key, sub = jax.random.split(key)
+        noises = _draw(sub, self.noise_shapes(), x.dtype)
+        return key, self.step_with_noise(x, b, noises)
+
+
+@pytree_dataclass(meta=("kmax", "ncolors"))
+class GraphPatchGibbsSampler:
+    """Vertex-star block-Gibbs on an unstructured GraphOperator.
+
+    The graph analogue of :class:`PatchGibbsSampler` — the reference's
+    ASMStarPC + cholsampler smoother on unstructured meshes
+    (``/root/reference/examples/ex9.py:48-66``).  Patch of node i =
+    {i} + neighbours(i).  Setup (host): member lists ELL-padded to the
+    max patch size ``kmax`` with a sentinel slot n, and a DISTANCE-4
+    greedy colouring (colouring of the cubed adjacency graph) so that
+    same-colour patches are mutually uncoupled and member-disjoint —
+    one colour pass resamples all its patches simultaneously from
+    their exact conditionals.  Runtime: ``lax.scan`` over
+    uniformly-padded colour sets; all member accesses are batched
+    gathers, A_SS entries are recovered from the ELL rows by one-hot
+    column matching, and the (kmax, kmax) systems are factored with
+    the same unrolled elementwise Cholesky (structure-of-arrays — no
+    ``(..., k, k)`` arrays, see module docstring).
+    """
+
+    base: object  # GraphOperator
+    members: jax.Array  # (n + 1, kmax) int32, sentinel-padded (slot n)
+    member_mask: jax.Array  # (n + 1, kmax) 1.0 for real members
+    color_sets: jax.Array  # (ncolors, cmax) int32 centres, sentinel-padded
+    kmax: int
+    ncolors: int
+
+    @staticmethod
+    def create(op) -> "GraphPatchGibbsSampler":
+        import numpy as np
+        import scipy.sparse as sp
+
+        n = op.n
+        vals = np.asarray(op.vals)
+        cols = np.asarray(op.cols)
+        real = vals != 0.0
+
+        deg = real.sum(axis=1)
+        kmax = int(deg.max()) + 1
+        members = np.full((n + 1, kmax), n, dtype=np.int32)
+        mask = np.zeros((n + 1, kmax), dtype=np.float64)
+        members[:n, 0] = np.arange(n, dtype=np.int32)
+        mask[:n, 0] = 1.0
+        for i in range(n):
+            nb = cols[i][real[i]]
+            members[i, 1 : 1 + len(nb)] = nb
+            mask[i, 1 : 1 + len(nb)] = 1.0
+
+        # distance-4 colouring: same-colour centres farther than 3 hops
+        # apart, so patches (radius-1 stars) are uncoupled and disjoint
+        rows = np.repeat(np.arange(n), real.sum(axis=1))
+        B = sp.csr_matrix(
+            (np.ones(len(rows), bool), (rows, cols[real])), shape=(n, n)
+        ) + sp.eye(n, dtype=bool, format="csr")
+        B3 = ((B @ B) @ B).tocsr()
+        from parmgmc_tpu.operators.graph import greedy_coloring
+
+        colors = greedy_coloring(B3.indptr, B3.indices, n)
+        ncolors = int(colors.max()) + 1
+        cmax = int(np.bincount(colors, minlength=ncolors).max())
+        color_sets = np.full((ncolors, cmax), n, dtype=np.int32)
+        for c in range(ncolors):
+            idx = np.nonzero(colors == c)[0]
+            color_sets[c, : len(idx)] = idx
+
+        return GraphPatchGibbsSampler(
+            base=op,
+            members=jnp.asarray(members),
+            member_mask=jnp.asarray(mask, dtype=op.dtype),
+            color_sets=jnp.asarray(color_sets),
+            kmax=kmax,
+            ncolors=ncolors,
+        )
+
+    # -- protocol ------------------------------------------------------------
+    @property
+    def grid_shape(self):
+        return (self.base.n,)
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    def noise_shapes(self):
+        return [{"eta": (self.kmax, self.base.n)}]
+
+    def step_with_noise(self, x, b, noises):
+        base = self.base
+        n = base.n
+        k = self.kmax
+        dtype = self.dtype
+        eta = noises[0]["eta"]  # (k, n)
+
+        zrow = jnp.zeros((1,), dtype)
+        diag_p = jnp.concatenate([base.diag, zrow])
+        eta_p = jnp.concatenate([eta, jnp.zeros((k, 1), dtype)], axis=1)
+        vals_p = jnp.concatenate(
+            [base.vals, jnp.zeros((1, base.vals.shape[1]), dtype)]
+        )
+        cols_p = jnp.concatenate(
+            [base.cols, jnp.full((1, base.cols.shape[1]), n, jnp.int32)]
+        )
+
+        def pass_body(x_pad, centers):
+            r = b - base.apply(x_pad[:n])
+            r_p = jnp.concatenate([r, zrow])
+
+            mem = self.members[centers]  # (cmax, k)
+            mask = self.member_mask[centers] * (
+                centers < n
+            ).astype(dtype)[:, None]
+
+            xs = [x_pad[mem[:, a]] for a in range(k)]
+            rs = [r_p[mem[:, a]] for a in range(k)]
+            dgs = [diag_p[mem[:, a]] for a in range(k)]
+            ets = [eta_p[a][centers] for a in range(k)]
+            mks = [mask[:, a] for a in range(k)]
+            va = [vals_p[mem[:, a]] for a in range(k)]  # (cmax, w)
+            ca = [cols_p[mem[:, a]] for a in range(k)]
+
+            # A_SS entries by one-hot ELL column matching (padding
+            # entries carry val 0, sentinel rows are all-zero)
+            cache = {}
+
+            def ass(a, bb):
+                if a == bb:
+                    return dgs[a] * mks[a] + (1.0 - mks[a])
+                if (a, bb) in cache:
+                    return cache[(a, bb)]
+                e = (
+                    jnp.sum(
+                        va[a] * (ca[a] == mem[:, bb, None]).astype(dtype),
+                        axis=1,
+                    )
+                    * mks[a]
+                    * mks[bb]
+                )
+                cache[(a, bb)] = e
+                return e
+
+            rhs = []
+            for i in range(k):
+                acc = mks[i] * rs[i]
+                for j in range(k):
+                    acc = acc + (ass(i, j) if j <= i else ass(j, i)) * xs[j]
+                rhs.append(acc)
+
+            Lf = [[None] * k for _ in range(k)]
+            for i in range(k):
+                for j in range(i + 1):
+                    s = ass(i, j)
+                    for t in range(j):
+                        s = s - Lf[i][t] * Lf[j][t]
+                    if i == j:
+                        Lf[i][i] = jnp.sqrt(s)
+                    else:
+                        Lf[i][j] = s / Lf[j][j]
+
+            z = []
+            for i in range(k):
+                s = rhs[i]
+                for j in range(i):
+                    s = s - Lf[i][j] * z[j]
+                z.append(s / Lf[i][i])
+            y = [None] * k
+            for i in reversed(range(k)):
+                s = z[i] + ets[i]
+                for j in range(i + 1, k):
+                    s = s - Lf[j][i] * y[j]
+                y[i] = s / Lf[i][i]
+
+            # scatter: same-colour patches are member-disjoint; sentinel
+            # slots all write x_pad[n]'s own value 0 (mask -> old = 0)
+            upd = jnp.stack(
+                [jnp.where(mks[a] > 0.5, y[a], xs[a]) for a in range(k)],
+                axis=1,
+            )
+            x_pad = x_pad.at[mem.reshape(-1)].set(upd.reshape(-1))
+            return x_pad, None
+
+        x_pad = jnp.concatenate([x, zrow])
+        x_pad, _ = jax.lax.scan(pass_body, x_pad, self.color_sets)
+        return x_pad[:n]
 
     def prepare(self, b):
         return None

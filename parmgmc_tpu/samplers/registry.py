@@ -64,8 +64,14 @@ def _build_cholesky(op, cfg):
 
 @register_sampler("patch_gibbs")
 def _build_patch_gibbs(op, cfg):
-    from parmgmc_tpu.samplers.patch_gibbs import PatchGibbsSampler
+    from parmgmc_tpu.operators.graph import GraphOperator
+    from parmgmc_tpu.samplers.patch_gibbs import (
+        GraphPatchGibbsSampler,
+        PatchGibbsSampler,
+    )
 
+    if isinstance(op, GraphOperator):
+        return GraphPatchGibbsSampler.create(op)
     return PatchGibbsSampler.create(op)
 
 

@@ -238,3 +238,27 @@ def test_mgmc_wcycle_invariance():
     smp = MGMCSampler.create(op, n_levels=3, gamma=2)
     mean_err, cov_err = invariance_error(smp, op, rhs())
     assert mean_err < TOL and cov_err < TOL, (mean_err, cov_err)
+
+
+def test_graph_patch_gibbs_invariance():
+    """Vertex-star block-Gibbs on an UNSTRUCTURED GraphOperator (the
+    mesh form of ex9's ASMStarPC smoother): exact conditionals, exact
+    invariance, alone and via the registry."""
+    import scipy.sparse as sp
+
+    from parmgmc_tpu.operators.graph import from_csr
+    from parmgmc_tpu.samplers.patch_gibbs import GraphPatchGibbsSampler
+    from parmgmc_tpu.samplers.registry import build_sampler
+
+    op_fd = make_op()
+    A = sp.csr_matrix(np.asarray(op_fd.to_dense(), np.float64))
+    gop = from_csr(A, dtype=jnp.float64)
+
+    smp = GraphPatchGibbsSampler.create(gop)
+    assert smp.ncolors >= 4  # distance-4 colouring is nontrivial
+    b = gop.to_internal(rhs().reshape(-1))
+    me, ce = invariance_error(smp, gop, b)
+    assert me < TOL and ce < TOL, (me, ce)
+
+    smp2 = build_sampler(gop, {"type": "patch_gibbs"})
+    assert type(smp2).__name__ == "GraphPatchGibbsSampler"

@@ -215,3 +215,23 @@ def test_native_graph_setup_matches_python():
             n_agg += 1
     np.testing.assert_array_equal(agg_n, agg_p)
     assert na_n == n_agg
+
+
+def test_algebraic_mgmc_patch_smoother_invariance():
+    """MGMC on a mesh graph with the GRAPH patch-Gibbs smoother (ex9's
+    ASMStarPC-in-MG configuration on unstructured meshes)."""
+    from parmgmc_tpu.samplers.registry import build_sampler
+
+    op, _, _, _ = small_mesh_op()
+    b = jnp.asarray(np.random.default_rng(3).standard_normal(op.n))
+    smp = build_sampler(
+        op,
+        {
+            "type": "mgmc",
+            "coarsest_size": 12,
+            "smoother": {"type": "patch_gibbs"},
+        },
+    )
+    assert type(smp.smoothers[0]).__name__ == "GraphPatchGibbsSampler"
+    me, ce = invariance_error(smp, op, b)
+    assert me < TOL and ce < TOL, (me, ce)
