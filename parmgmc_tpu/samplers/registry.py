@@ -52,9 +52,13 @@ def build_sampler(op, config: dict):
 
 @register_sampler("gibbs")
 def _build_gibbs(op, cfg):
-    return GibbsSampler.create(
-        op, omega=cfg.pop("omega", 1.0), sweep=cfg.pop("sweep", "forward")
-    )
+    omega = cfg.pop("omega", 1.0)
+    sweep = cfg.pop("sweep", "forward")
+    if cfg.pop("ordering", "multicolor") == "natural":
+        from parmgmc_tpu.samplers.sor import NaturalGibbsSampler
+
+        return NaturalGibbsSampler.create(op, omega=omega, sweep=sweep)
+    return GibbsSampler.create(op, omega=omega, sweep=sweep)
 
 
 @register_sampler("cholesky")

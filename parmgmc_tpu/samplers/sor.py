@@ -27,9 +27,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from parmgmc_tpu._pytree import pytree_dataclass
 from parmgmc_tpu.operators.stencil import StencilOperator
 
-__all__ = ["color_masks", "num_colors", "sor_sweep"]
+__all__ = [
+    "color_masks",
+    "num_colors",
+    "sor_sweep",
+    "natural_sweep",
+    "NaturalGibbsSampler",
+]
 
 
 def num_colors(op: StencilOperator) -> int:
@@ -96,15 +103,132 @@ def sor_sweep(
     return x
 
 
-def lexicographic_sweep(op, b, x, omega: float = 1.0, sweep: str = "forward"):
-    """Exact natural-order (lexicographic) Gauss-Seidel/SOR sweep.
+def natural_sweep(
+    op: StencilOperator, b, x, omega: float = 1.0, sweep: str = "forward"
+):
+    """EXACT natural-order (lexicographic) SOR sweep by wavefronts.
 
-    The reference implements exact cross-rank lexicographic GS with a
-    dependency-driven MPI pipeline (``src/pc_parsor.c:703-878``); on TPU
-    a true sequential ordering serializes, so this O(n^2)-per-sweep scan
-    exists for parity/testing on small problems (iteration-operator
-    comparisons, ex5-style identities).  Production sweeps use the
-    multicolour formulation above — the same distribution family.
+    The production equivalent of the reference's PCPARSOR
+    (``src/pc_parsor.c:703-878``), which keeps the exact lexicographic
+    update order across MPI ranks with a dependency-driven dataflow
+    pipeline.  The TPU-native scheduling is the classic wavefront
+    observation: for a STAR stencil every lower-lexicographic neighbour
+    of a cell has a strictly smaller coordinate sum and no two
+    equal-sum cells couple, so updating whole anti-diagonal hyperplanes
+    ``sum(coords) == s`` in increasing s reproduces lexicographic
+    Gauss-Seidel EXACTLY in arithmetic (verified to 1e-14 against the
+    sequential scan in tests).  Non-star stencils (e.g. squared
+    radius-2 priors with cross terms) use a SKEWED wavefront: per-axis
+    weights ``w_d = 1, w_ax = r * sum(later w) + 1`` guarantee every
+    lexicographically-negative offset has ``w . o < 0`` and no offset
+    has ``w . o == 0``, so skewed hyperplanes ``w . coords == s`` again
+    reproduce the natural order exactly (at ``w_0 (N_0-1) + ...``
+    passes instead of ``sum(N_ax - 1) + 1``).  Each wavefront is one
+    fully-vectorised masked pass — the price of exact natural order
+    (the multicolour ``sor_sweep`` needs only r + 1 passes, and the
+    measured IACT/spectral-radius gap between the two orderings is
+    zero for this operator family; BENCH_NOTES).
+    """
+    if sweep == "symmetric":
+        x = natural_sweep(op, b, x, omega, "forward")
+        return natural_sweep(op, b, x, omega, "backward")
+    d = op.ndim
+    shape = op.grid_shape
+    if op.is_star():
+        w = [1] * d
+    else:
+        r = op.radius
+        w = [1] * d
+        for ax in reversed(range(d - 1)):
+            w[ax] = r * sum(w[ax + 1 :]) + 1
+    S = sum(wi * (n - 1) for wi, n in zip(w, shape)) + 1
+    code = sum(
+        w[ax] * jax.lax.broadcasted_iota(jnp.int32, shape, ax)
+        for ax in range(d)
+    )
+    inv_diag = omega / op.diag
+    forward = sweep == "forward"
+
+    def body(i, x):
+        s = i if forward else S - 1 - i
+        r = b - op.offdiag_apply(x)
+        xc = (1.0 - omega) * x + inv_diag * r
+        return jnp.where(code == s, xc, x)
+
+    return jax.lax.fori_loop(0, S, body, x, unroll=False)
+
+
+@pytree_dataclass(meta=("omega", "sweep"))
+class NaturalGibbsSampler:
+    """Stochastic SOR Gibbs sampler in EXACT natural (lexicographic)
+    order — the PCPARSOR sampler configuration, scheduled by wavefronts
+    (:func:`natural_sweep`).  Same target N(A^{-1}b, A^{-1}) and same
+    ``b~ = b + sqrt((2-w)/w) sqrt(D) eta`` stochastic RHS as
+    ``GibbsSampler``; only the update order differs.  Registry type:
+    ``{"type": "gibbs", "ordering": "natural"}``."""
+
+    base: StencilOperator
+    noise_scale: jax.Array
+    omega: float = 1.0
+    sweep: str = "forward"
+
+    @staticmethod
+    def create(op, omega: float = 1.0, sweep: str = "forward"):
+        assert isinstance(op, StencilOperator)
+        scale = jnp.sqrt((2.0 - omega) / omega) * jnp.sqrt(op.diag)
+        return NaturalGibbsSampler(
+            base=op, noise_scale=scale, omega=omega, sweep=sweep
+        )
+
+    @property
+    def grid_shape(self):
+        return self.base.grid_shape
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    def noise_shapes(self):
+        halves = 2 if self.sweep == "symmetric" else 1
+        return [{"eta": self.base.grid_shape} for _ in range(halves)]
+
+    def step_with_noise(self, x, b, noises):
+        if self.sweep == "symmetric":  # fresh noise per half-sweep
+            x = natural_sweep(
+                self.base,
+                b + self.noise_scale * noises[0]["eta"],
+                x,
+                self.omega,
+                "forward",
+            )
+            return natural_sweep(
+                self.base,
+                b + self.noise_scale * noises[1]["eta"],
+                x,
+                self.omega,
+                "backward",
+            )
+        btilde = b + self.noise_scale * noises[0]["eta"]
+        return natural_sweep(self.base, btilde, x, self.omega, self.sweep)
+
+    def prepare(self, b):
+        return None
+
+    def step(self, key, x, b, aux=None):
+        from parmgmc_tpu.samplers.gibbs import _draw
+
+        key, sub = jax.random.split(key)
+        noises = _draw(sub, self.noise_shapes(), x.dtype)
+        return key, self.step_with_noise(x, b, noises)
+
+
+def lexicographic_sweep(op, b, x, omega: float = 1.0, sweep: str = "forward"):
+    """Sequential-scan natural-order Gauss-Seidel/SOR sweep (test oracle).
+
+    O(n^2) dense scan used to VERIFY ``natural_sweep``'s wavefront
+    scheduling bit-for-bit on small problems (iteration-operator
+    comparisons, ex5-style identities).  Production natural-order
+    sweeps use :func:`natural_sweep`.
     """
     A = op.to_dense()
     n = A.shape[0]

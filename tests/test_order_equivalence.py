@@ -131,3 +131,43 @@ def test_ordering_iact_gap_is_small(problem):
         ratio = taus[name] / taus["lexicographic"]
         assert 0.4 < ratio < 2.0, (name, taus)
         assert abs(rhos[name] - rhos["lexicographic"]) < 0.1, (name, rhos)
+
+
+def test_wavefront_equals_sequential_lexicographic():
+    """natural_sweep (production wavefront scheduling) reproduces the
+    sequential lexicographic scan EXACTLY — radius-1 and radius-2 star
+    stencils, 2D and 3D, forward/backward/symmetric, omega != 1."""
+    from parmgmc_tpu.models.problems import squared_shifted_laplace_fd
+    from parmgmc_tpu.samplers.sor import natural_sweep
+
+    ops = [
+        shifted_laplace_fd((6, 5), 1.3, dtype=DTYPE),
+        shifted_laplace_fd((4, 3, 5), 0.8, dtype=DTYPE),
+        squared_shifted_laplace_fd((7, 6), 1.1, dtype=DTYPE),
+    ]
+    for op in ops:
+        key = 0
+        x0 = jnp.sin(jnp.arange(math.prod(op.grid_shape), dtype=DTYPE)).reshape(
+            op.grid_shape
+        )
+        b = jnp.cos(x0)
+        for sweep in ("forward", "backward", "symmetric"):
+            a = natural_sweep(op, b, x0, 1.35, sweep)
+            c = lexicographic_sweep(op, b, x0, 1.35, sweep)
+            err = float(jnp.max(jnp.abs(a - c)))
+            assert err < 1e-13, (op.grid_shape, sweep, err)
+
+
+def test_natural_gibbs_sampler_invariance():
+    """The PCPARSOR sampler configuration (exact natural-order Gibbs)
+    as a production sampler: exactly invariant, registry-buildable."""
+    from parmgmc_tpu.samplers.registry import build_sampler
+
+    op = shifted_laplace_fd(GRID, KAPPA, dtype=DTYPE)
+    b = jnp.ones(GRID, DTYPE)
+    for sweep in ("forward", "symmetric"):
+        smp = build_sampler(
+            op, {"type": "gibbs", "ordering": "natural", "sweep": sweep}
+        )
+        me, ce = invariance_error(smp, op, b)
+        assert float(me) < 1e-10 and float(ce) < 1e-10, (sweep, me, ce)
