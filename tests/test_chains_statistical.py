@@ -147,3 +147,32 @@ def test_vmap_chain_parallelism():
     rel = np.linalg.norm(grand - EX_MEAN) / np.linalg.norm(EX_MEAN)
     # 128k iid samples, field sd ~ 1/kappa vs mean ~ 1/kappa^2: MC floor ~0.028
     assert rel < 0.03
+
+
+def test_fmg_init_is_near_stationary():
+    """FMG cold start: chains started from fmg_init need no burn-in —
+    the burnin=0 sample mean matches the direct solve as well as a
+    well-burned chain does, and independent fmg_init draws already
+    have approximately the stationary mean and pointwise variance."""
+    smp = MGMCSampler.create(OP, n_levels=3, coarsest_size=8)
+
+    # (a) many independent FMG draws: stationary mean + variance
+    keys = jax.random.split(jax.random.PRNGKey(7), 512)
+    draw = jax.jit(jax.vmap(lambda k: smp.fmg_init(k, B)[1]))
+    xs = np.asarray(draw(keys))
+    var_ex = np.diag(np.linalg.inv(A_DENSE)).reshape(GRID)
+    mean_err = np.abs(xs.mean(0) - EX_MEAN) / np.sqrt(var_ex / len(keys))
+    assert mean_err.max() < 5.0, mean_err.max()  # z-scores
+    rel_var = np.abs(xs.var(0) - var_ex) / var_ex
+    assert np.median(rel_var) < 0.25, np.median(rel_var)
+
+    # (b) burnin-free chain from one FMG start
+    key = jax.random.PRNGKey(3)
+    key, x0 = smp.fmg_init(key, B)
+    st = init_chain(smp, key, x0=x0)
+    run = jax.jit(lambda s: sample_moments(smp, s, B, 4000, burnin=0))
+    _, mean, _ = run(st)
+    rel = np.linalg.norm(np.asarray(mean) - EX_MEAN) / np.linalg.norm(EX_MEAN)
+    # MC noise floor at 4000 samples is ~0.1 (ex1: 0.015 at 200k); a
+    # cold non-FMG start at burnin=0 fails this bound badly
+    assert rel < 0.15, rel
