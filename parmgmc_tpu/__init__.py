@@ -20,5 +20,10 @@ from parmgmc_tpu.samplers.cholesky import CholeskySampler  # noqa: E402,F401
 from parmgmc_tpu.samplers.gibbs import GibbsSampler  # noqa: E402,F401
 from parmgmc_tpu.samplers.mgmc import MGMCSampler  # noqa: E402,F401
 from parmgmc_tpu.samplers.woodbury import WoodburySampler  # noqa: E402,F401
+from parmgmc_tpu.samplers.patch_gibbs import (  # noqa: E402,F401
+    GraphPatchGibbsSampler,
+    PatchGibbsSampler,
+)
+from parmgmc_tpu.samplers.sor import NaturalGibbsSampler  # noqa: E402,F401
 from parmgmc_tpu.samplers.registry import build_sampler  # noqa: E402,F401
 from parmgmc_tpu.describe import describe  # noqa: E402,F401
