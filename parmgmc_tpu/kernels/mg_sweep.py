@@ -126,6 +126,36 @@ def _kernel(
             return braw_plane + nscale * jnp.sqrt(diag_row(g)) * eta_row(g)
         return braw_plane
 
+    # ---- whole-window helpers (rows within a red/black phase are
+    # independent, so each phase is ONE vector op over the (W, N1, N2)
+    # window instead of a row loop — Mosaic vectorises the sublane dim
+    # and the per-row loop overhead disappears) ------------------------
+    ll3 = jax.lax.broadcasted_iota(jnp.int32, (W, N1, N2), 0)
+
+    def window_geom():
+        """(par3, diag3, up_ok3, dn_ok3) for window rows jT-2..jT+T+1."""
+        gg3 = (jT - 2 + row_off) + ll3
+        # jT - 2 + row_off is even (T and row_off even), so the colour
+        # code reduces to (ll + plane parity) — cheap and j-independent
+        par3 = (ll3 + plane_par[None]) % 2
+        up_ok3 = (gg3 >= 1).astype(jnp.float32)
+        dn_ok3 = (gg3 <= N0G - 2).astype(jnp.float32)
+        diag3 = kappa2 + hinv2 * (links_inplane[None] + up_ok3 + dn_ok3)
+        return par3, diag3, up_ok3, dn_ok3
+
+    def neigh_sum(v3, up_ok3, dn_ok3):
+        """sum of off-diagonal neighbour contributions, whole window.
+        Window-edge rows see zero-filled axis-0 neighbours — their
+        values are never read downstream (rows 0 / W-1 are halo)."""
+        return (
+            c0lo * up_ok3 * _shift_plane(v3, 0, -1, W)
+            + c0hi * dn_ok3 * _shift_plane(v3, 0, 1, W)
+            + c1lo * _shift_plane(v3, 1, -1, N1)
+            + c1hi * _shift_plane(v3, 1, 1, N1)
+            + c2lo * _shift_plane(v3, 2, -1, N2)
+            + c2hi * _shift_plane(v3, 2, 1, N2)
+        )
+
     @pl.when(i > 0)
     def _compute():
         # ---- assemble the b~ window rows jT-2 .. jT+T+1 ------------------
@@ -148,72 +178,34 @@ def _kernel(
             btw[T + 2] = b_ref[0]
             btw[T + 3] = b_ref[jnp.minimum(1, T - 1)]
 
-        # ---- phase 0: from zero, y = (w/D) b~ at colour-0 points ---------
-        def p0_row(l, _):
-            g = jT + (l - 2)
-            mask = ((g + row_off + plane_par) % 2) == color0
-            yw[l] = jnp.where(mask, (omega / diag_row(g)) * btw[l], 0.0)
-            return 0
+        par3, diag3, up_ok3, dn_ok3 = window_geom()
+        winv3 = omega / diag3
+        bt3 = btw[:]
 
-        jax.lax.fori_loop(0, W, p0_row, 0, unroll=False)
+        # ---- phase 0: from zero, y = (w/D) b~ at colour-0 points ---------
+        yw[:] = jnp.where(par3 == color0, winv3 * bt3, 0.0)
 
         # ---- phase 1: colour-1 points read fresh colour-0 neighbours -----
-        def p1_row(l, _):
-            g = jT + (l - 2)
-            gg = g + row_off
-            yl = yw[l]
-            up_ok = jnp.logical_and(l >= 1, gg >= 1).astype(jnp.float32)
-            dn_ok = jnp.logical_and(l <= W - 2, gg <= N0G - 2).astype(
-                jnp.float32
-            )
-            up = yw[jnp.maximum(l - 1, 0)]
-            dn = yw[jnp.minimum(l + 1, W - 1)]
-            sumn = (
-                c0lo * up_ok * up
-                + c0hi * dn_ok * dn
-                + c1lo * _shift_plane(yl, 0, -1, N1)
-                + c1hi * _shift_plane(yl, 0, 1, N1)
-                + c2lo * _shift_plane(yl, 1, -1, N2)
-                + c2hi * _shift_plane(yl, 1, 1, N2)
-            )
-            upd = (omega / diag_row(g)) * (btw[l] - sumn)
-            mask = ((gg + plane_par) % 2) == (1 - color0)
-            yw[l] = jnp.where(mask, upd, yl)
-            return 0
+        y0 = yw[:]
+        upd3 = winv3 * (bt3 - neigh_sum(y0, up_ok3, dn_ok3))
+        yw[:] = jnp.where(par3 == (1 - color0), upd3, y0)
 
-        jax.lax.fori_loop(1, W - 1, p1_row, 0, unroll=False)
-
-        y_ref[:] = yw[pl.ds(2, T)]
+        yf = yw[:]
+        y_ref[:] = yf[2 : T + 2]
 
         # ---- residual + 3/4-restriction ----------------------------------
-        # r[g] = bl[g] - A y |_g on output rows; coarse row c sums fine
-        # rows 2c, 2c+1 (axis 0) and sublane pairs (axis 1).
-        def res_row(l, _):
-            g = jT + (l - 2)
+        # r = bl - A y on output rows; coarse row c sums fine rows
+        # 2c, 2c+1 (axis 0) and sublane pairs (axis 1).
+        r3 = (
+            braw[:]
+            - (diag3 * yf + neigh_sum(yf, up_ok3, dn_ok3))[2 : T + 2]
+        )
 
-            def r_at(lf, gf):
-                ylf = yw[lf]
-                ggf = gf + row_off
-                up_ok = (ggf >= 1).astype(jnp.float32)
-                dn_ok = (ggf <= N0G - 2).astype(jnp.float32)
-                sumn = (
-                    c0lo * up_ok * yw[lf - 1]
-                    + c0hi * dn_ok * yw[lf + 1]
-                    + c1lo * _shift_plane(ylf, 0, -1, N1)
-                    + c1hi * _shift_plane(ylf, 0, 1, N1)
-                    + c2lo * _shift_plane(ylf, 1, -1, N2)
-                    + c2hi * _shift_plane(ylf, 1, 1, N2)
-                )
-                return braw[lf - 2] - diag_row(gf) * ylf - sumn
-
-            rp = r_at(l, g) + r_at(l + 1, g + 1)
-            rq_ref[(l - 2) // 2] = rp.reshape(N1 // 2, 2, N2).sum(1)
-            return 0
-
-        def res_pair(c, _):
-            return res_row(2 + 2 * c, _)
-
-        jax.lax.fori_loop(0, T // 2, res_pair, 0, unroll=False)
+        # static unroll: Mosaic has no dynamic_slice on values, and T is
+        # a compile-time constant anyway
+        for c in range(T // 2):
+            rp = r3[2 * c] + r3[2 * c + 1]
+            rq_ref[c] = rp.reshape(N1 // 2, 2, N2).sum(1)
 
     @pl.when(i == 0)
     def _init():
@@ -282,8 +274,14 @@ def fused_zero_gibbs_restrict_fd(
     N0, N1, N2 = b.shape
     if n0_global is None:
         n0_global = N0
-    # VMEM planes: scratch 4T+10 + b/y blocks 4T + rq blocks T/2
-    T = _auto_tile(N0, N1 * N2 * 4, 9, 10, tile, t_min=2)
+    # VMEM planes: scratch 4T+10 + b/y blocks 4T + rq blocks T/2 + the
+    # whole-window phase temporaries (y0/upd3/r3/neigh shifts ~ 6 windows)
+    T = _auto_tile(N0, N1 * N2 * 4, 15, 22, tile, t_min=2)
+    if tile is None:
+        # Mosaic compile time explodes on (T+4)-plane vector ops past
+        # T=16 (measured: T=32 at 128^2 planes never finishes)
+        while T and T > 16:
+            T //= 2
     while T and (N0 % T or N0 < 2 * T or T % 2):
         T //= 2
     if not T:
@@ -438,35 +436,29 @@ def _kernel_chain(
         dn_ok = (g <= N0 - 2).astype(jnp.float32)
         return kappa2 + hinv2 * (links_inplane + up_ok + dn_ok)
 
-    def apply_row(w, l, g):
-        """(A v)|row g from a window w whose row l holds v[g]."""
-        vl = w[l]
-        up_ok = (g >= 1).astype(jnp.float32)
-        dn_ok = (g <= N0 - 2).astype(jnp.float32)
-        return (
-            diag_row(g) * vl
-            + c0lo * up_ok * w[l - 1]
-            + c0hi * dn_ok * w[l + 1]
-            + c1lo * _shift_plane(vl, 0, -1, N1)
-            + c1hi * _shift_plane(vl, 0, 1, N1)
-            + c2lo * _shift_plane(vl, 1, -1, N2)
-            + c2hi * _shift_plane(vl, 1, 1, N2)
-        )
+    # ---- whole-window helpers (rows within a red/black phase are
+    # independent; all loops except the sequential PRNG pair loop are
+    # single vector ops over the window — see _kernel above) -----------
+    def geom(w, off):
+        """(par3, diag3, up_ok3, dn_ok3) for a w-row window whose row 0
+        is global row jT + off (off even, so parity is j-independent)."""
+        ll3 = jax.lax.broadcasted_iota(jnp.int32, (w, N1, N2), 0)
+        g3 = (jT + off) + ll3
+        par3 = (ll3 + plane_par[None]) % 2
+        up_ok3 = (g3 >= 1).astype(jnp.float32)
+        dn_ok3 = (g3 <= N0 - 2).astype(jnp.float32)
+        diag3 = kappa2 + hinv2 * (links_inplane[None] + up_ok3 + dn_ok3)
+        return par3, diag3, up_ok3, dn_ok3
 
-    def bt_pair(l, braw_e, braw_o):
-        """bt rows l, l+1: r~ = (b - A x)|g + noise for the aligned row
-        pair g = jT + l - 2 (xw row l+1).  Window corners are even
-        offsets from even jT, so every bt row belongs to an aligned pair
-        and one Box-Muller evaluation serves two rows."""
-        g = jT + (l - 2)
-        re = braw_e - apply_row(xw, l + 1, g)
-        ro = braw_o - apply_row(xw, l + 2, g + 1)
-        if with_noise:
-            ee, eo = _eta_pair(su, stepu, g, N1, N2)
-            re = re + nscale * jnp.sqrt(diag_row(g)) * ee
-            ro = ro + nscale * jnp.sqrt(diag_row(g + 1)) * eo
-        bt[l] = re
-        bt[l + 1] = ro
+    def neigh_sum(v3, w, up_ok3, dn_ok3):
+        return (
+            c0lo * up_ok3 * _shift_plane(v3, 0, -1, w)
+            + c0hi * dn_ok3 * _shift_plane(v3, 0, 1, w)
+            + c1lo * _shift_plane(v3, 1, -1, N1)
+            + c1hi * _shift_plane(v3, 1, 1, N1)
+            + c2lo * _shift_plane(v3, 2, -1, N2)
+            + c2hi * _shift_plane(v3, 2, 1, N2)
+        )
 
     @pl.when(i > 0)
     def _compute():
@@ -479,65 +471,55 @@ def _kernel_chain(
         xw[T + 4] = x_ref[jnp.minimum(1, T - 1)]
         xw[T + 5] = x_ref[jnp.minimum(2, T - 1)]
 
+        # ---- (A x) on rows jT-2 .. jT+T+1 (xw rows 1..W) -----------------
+        parx, diagx, upx, dnx = geom(T + 6, -3)
+        xv = xw[:]
+        ax3 = (diagx * xv + neigh_sum(xv, T + 6, upx, dnx))[1 : W + 1]
+
         # ---- r~ = (b - A x) + noise, rows jT-2 .. jT+T+1 ------------------
-        bt_pair(0, tail_b[0], tail_b[1])
+        bt[0] = tail_b[0]
+        bt[1] = tail_b[1]
+        bt[pl.ds(2, T)] = bprev[:]
+        bt[T + 2] = b_ref[0]
+        bt[T + 3] = b_ref[jnp.minimum(1, T - 1)]
+        bt[:] = bt[:] - ax3
 
-        def rt_mid(c, _):
-            l = 2 + 2 * c
-            bt_pair(l, bprev[l - 2], bprev[l - 1])
-            return 0
+        par3, diag3, up3, dn3 = geom(W, -2)
+        winv3 = omega / diag3
 
-        jax.lax.fori_loop(0, T // 2, rt_mid, 0, unroll=False)
-        bt_pair(T + 2, b_ref[0], b_ref[jnp.minimum(1, T - 1)])
+        if with_noise:  # sequential PRNG: stays a (pairwise) loop
+
+            def noise_pair(c, _):
+                l = 2 * c
+                g = jT + (l - 2)
+                ee, eo = _eta_pair(su, stepu, g, N1, N2)
+                bt[l] = bt[l] + nscale * jnp.sqrt(diag_row(g)) * ee
+                bt[l + 1] = (
+                    bt[l + 1] + nscale * jnp.sqrt(diag_row(g + 1)) * eo
+                )
+                return 0
+
+            jax.lax.fori_loop(0, W // 2, noise_pair, 0, unroll=False)
 
         # ---- phase 0 IN PLACE: colour-0 cells become y = (w/D) r~ --------
-        def p0_row(l, _):
-            g = jT + (l - 2)
-            mask = ((g + plane_par) % 2) == color0
-            bt[l] = jnp.where(mask, (omega / diag_row(g)) * bt[l], bt[l])
-            return 0
-
-        jax.lax.fori_loop(0, W, p0_row, 0, unroll=False)
+        bt0 = bt[:]
+        bt[:] = jnp.where(par3 == color0, winv3 * bt0, bt0)
 
         # ---- phase 1 IN PLACE: colour-1 cells read fresh colour-0 y ------
-        def p1_row(l, _):
-            g = jT + (l - 2)
-            yl = bt[l]
-            up_ok = jnp.logical_and(l >= 1, g >= 1).astype(jnp.float32)
-            dn_ok = jnp.logical_and(l <= W - 2, g <= N0 - 2).astype(
-                jnp.float32
-            )
-            sumn = (
-                c0lo * up_ok * bt[jnp.maximum(l - 1, 0)]
-                + c0hi * dn_ok * bt[jnp.minimum(l + 1, W - 1)]
-                + c1lo * _shift_plane(yl, 0, -1, N1)
-                + c1hi * _shift_plane(yl, 0, 1, N1)
-                + c2lo * _shift_plane(yl, 1, -1, N2)
-                + c2hi * _shift_plane(yl, 1, 1, N2)
-            )
-            upd = (omega / diag_row(g)) * (yl - sumn)
-            mask = ((g + plane_par) % 2) == (1 - color0)
-            bt[l] = jnp.where(mask, upd, yl)
-            return 0
-
-        jax.lax.fori_loop(1, W - 1, p1_row, 0, unroll=False)
+        y0 = bt[:]
+        upd3 = winv3 * (y0 - neigh_sum(y0, W, up3, dn3))
+        bt[:] = jnp.where(par3 == (1 - color0), upd3, y0)
 
         # ---- xpy = x + y0 (the fused chain-state add) --------------------
-        xpy_ref[:] = xprev[:] + bt[pl.ds(2, T)]
+        yf = bt[:]
+        xpy_ref[:] = xprev[:] + yf[2 : T + 2]
 
         # ---- restricted residual of (r - A y0) ---------------------------
-        def r2_at(l):
-            g = jT + (l - 2)
-            r_raw = bprev[l - 2] - apply_row(xw, l + 1, g)
-            return r_raw - apply_row(bt, l, g)
-
-        def res_pair(c, _):
-            l = 2 + 2 * c
-            rp = r2_at(l) + r2_at(l + 1)
+        ay3 = (diag3 * yf + neigh_sum(yf, W, up3, dn3))[2 : T + 2]
+        r2 = bprev[:] - ax3[2 : T + 2] - ay3
+        for c in range(T // 2):  # static unroll (no dynamic value slice)
+            rp = r2[2 * c] + r2[2 * c + 1]
             rq_ref[c] = rp.reshape(N1 // 2, 2, N2).sum(1)
-            return 0
-
-        jax.lax.fori_loop(0, T // 2, res_pair, 0, unroll=False)
 
     @pl.when(i == 0)
     def _init():
@@ -591,8 +573,12 @@ def fused_chain_down_fd(
     ``rc = rq.reshape(n0/2, n1/2, n2/2, 2).sum(-1)``.
     """
     N0, N1, N2 = x.shape
-    # VMEM planes: scratch 4T+15 + x/b/xpy blocks 6T + rq blocks T/2
-    T = _auto_tile(N0, N1 * N2 * 4, 10.5, 15, tile)
+    # VMEM planes: scratch 4T+15 + x/b/xpy blocks 6T + rq blocks T/2 +
+    # whole-window value temporaries (ax3/upd3/ay3/r2/shifts ~ 6 windows)
+    T = _auto_tile(N0, N1 * N2 * 4, 17, 28, tile)
+    if tile is None:
+        while T and T > 16:  # Mosaic compile blows up past T=16
+            T //= 2
     while T >= 4 and (N0 % T or N0 < 2 * T or T % 2):
         T //= 2
     if T < 4 or N0 % T or N0 < 2 * T:
