@@ -182,32 +182,28 @@ def _kernel(
     c1lo, c1hi = fscal_ref[3], fscal_ref[4]
     c2lo, c2hi = fscal_ref[5], fscal_ref[6]
 
+    # Whole-window phases: rows within a colour phase are independent
+    # (axis-0 neighbours have the opposite parity), so each phase is ONE
+    # vector op over the (W, N1, N2) window (see kernels.mg_sweep).
+    ll3 = jax.lax.broadcasted_iota(jnp.int32, (W, N1, N2), 0)
+    g3 = s + ll3
+    # s is even (clip of even endpoints): parity reduces to ll + plane
+    par3 = (ll3 + plane_par[None]) % 2
+    up_ok3 = (g3 >= 1).astype(jnp.float32)
+    dn_ok3 = (g3 <= N0 - 2).astype(jnp.float32)
+
     def phase(color):
-        """In-place SOR update of all `color` nodes in the window, row by
-        row.  Axis-0 neighbours always have the opposite parity, so the
-        in-place update never reads a value this phase has written."""
-
-        def row(l, _):
-            g = s + l
-            xl = xw[l]
-            up_ok = jnp.logical_and(l >= 1, g >= 1).astype(jnp.float32)
-            dn_ok = jnp.logical_and(l <= W - 2, g <= N0 - 2).astype(jnp.float32)
-            up = xw[jnp.maximum(l - 1, 0)]
-            dn = xw[jnp.minimum(l + 1, W - 1)]
-            sumn = (
-                c0lo * up_ok * up
-                + c0hi * dn_ok * dn
-                + c1lo * _shift_plane(xl, 0, -1, N1)
-                + c1hi * _shift_plane(xl, 0, 1, N1)
-                + c2lo * _shift_plane(xl, 1, -1, N2)
-                + c2hi * _shift_plane(xl, 1, 1, N2)
-            )
-            upd = (1.0 - omega) * xl + (omega / dw[l]) * (bt[l] - sumn)
-            mask = ((g + plane_par) % 2) == color
-            xw[l] = jnp.where(mask, upd, xl)
-            return 0
-
-        jax.lax.fori_loop(0, W, row, 0, unroll=False)
+        xv = xw[:]
+        sumn3 = (
+            c0lo * up_ok3 * _shift_plane(xv, 0, -1, W)
+            + c0hi * dn_ok3 * _shift_plane(xv, 0, 1, W)
+            + c1lo * _shift_plane(xv, 1, -1, N1)
+            + c1hi * _shift_plane(xv, 1, 1, N1)
+            + c2lo * _shift_plane(xv, 2, -1, N2)
+            + c2hi * _shift_plane(xv, 2, 1, N2)
+        )
+        upd3 = (1.0 - omega) * xv + (omega / dw[:]) * (bt[:] - sumn3)
+        xw[:] = jnp.where(par3 == color, upd3, xv)
 
     phase(color0)
     phase(1 - color0)
@@ -243,6 +239,8 @@ def fused_rb_gibbs_sweep(
     T = tile
     # T even keeps tile starts (and the s = i0*T - 2 / N0 - W clip
     # endpoints) even, so the paired noise stream stays row-aligned.
+    # (Whole-window phases add ~4 windows of value temporaries; the
+    # default T=4 window is small, so no budget adjustment needed.)
     while N0 % T or N0 < T + 4 or T % 2:
         T //= 2
         if T == 0:
@@ -390,32 +388,35 @@ def _kernel_v2(
         bw[pl.ds(1, T)] = bprev[:]
         bw[T + 1] = btilde_row(b_ref[0], jT + T)
 
-        def phase(color, lo, hi):
-            def row(l, _):
-                g = jT + (l - 2)  # xw row l <-> array row jT - 2 + l
-                gg = g + row_off
-                xl = xw[l]
-                up_ok = jnp.logical_and(l >= 1, gg >= 1).astype(jnp.float32)
-                dn_ok = jnp.logical_and(
-                    l <= T + 2, gg <= N0G - 2
-                ).astype(jnp.float32)
-                up = xw[jnp.maximum(l - 1, 0)]
-                dn = xw[jnp.minimum(l + 1, T + 3)]
-                sumn = (
-                    c0lo * up_ok * up
-                    + c0hi * dn_ok * dn
-                    + c1lo * _shift_plane(xl, 0, -1, N1)
-                    + c1hi * _shift_plane(xl, 0, 1, N1)
-                    + c2lo * _shift_plane(xl, 1, -1, N2)
-                    + c2hi * _shift_plane(xl, 1, 1, N2)
-                )
-                dg = diag_row(g)
-                upd = (1.0 - omega) * xl + (omega / dg) * (bw[l - 1] - sumn)
-                mask = ((gg + plane_par) % 2) == color
-                xw[l] = jnp.where(mask, upd, xl)
-                return 0
+        # ---- whole-window phases (rows within a phase are independent;
+        # see kernels.mg_sweep) — xw row l <-> array row jT - 2 + l ------
+        Wv = T + 4
+        ll3 = jax.lax.broadcasted_iota(jnp.int32, (Wv, N1, N2), 0)
+        gg3 = (jT - 2 + row_off) + ll3
+        # jT - 2 + row_off is even (T and row_off even): parity reduces
+        # to (ll + plane parity), j-independent
+        par3 = (ll3 + plane_par[None]) % 2
+        up_ok3 = (gg3 >= 1).astype(jnp.float32)
+        dn_ok3 = (gg3 <= N0G - 2).astype(jnp.float32)
+        diag3 = kappa2 + hinv2 * (links_inplane[None] + up_ok3 + dn_ok3)
+        # b~ aligned to xw rows: b3[l] = bw[l-1] (rows 0/T+3 masked off)
+        b3 = jnp.pad(bw[:], ((1, 1), (0, 0), (0, 0)))
 
-            jax.lax.fori_loop(lo, hi, row, 0, unroll=False)
+        def phase(color, lo, hi):
+            xv = xw[:]
+            sumn3 = (
+                c0lo * up_ok3 * _shift_plane(xv, 0, -1, Wv)
+                + c0hi * dn_ok3 * _shift_plane(xv, 0, 1, Wv)
+                + c1lo * _shift_plane(xv, 1, -1, N1)
+                + c1hi * _shift_plane(xv, 1, 1, N1)
+                + c2lo * _shift_plane(xv, 2, -1, N2)
+                + c2hi * _shift_plane(xv, 2, 1, N2)
+            )
+            upd3 = (1.0 - omega) * xv + (omega / diag3) * (b3 - sumn3)
+            sel = jnp.logical_and(
+                jnp.logical_and(ll3 >= lo, ll3 < hi), par3 == color
+            )
+            xw[:] = jnp.where(sel, upd3, xv)
 
         # red rows jT-1..jT+T (xw 1..T+2), then black rows jT..jT+T-1
         phase(color0, 1, T + 3)
@@ -496,8 +497,12 @@ def fused_rb_gibbs_sweep_fd(
     N0, N1, N2 = x.shape
     if n0_global is None:
         n0_global = N0
-    # VMEM planes: scratch 4T+9 + double-buffered x/b/out blocks 6T
-    T = _auto_tile(N0, N1 * N2 * 4, 10, 9, tile, t_min=2)
+    # VMEM planes: scratch 4T+9 + double-buffered x/b/out blocks 6T +
+    # whole-window phase temporaries (~5 windows)
+    T = _auto_tile(N0, N1 * N2 * 4, 15, 29, tile, t_min=2)
+    if tile is None:
+        while T and T > 16:  # Mosaic compile blows up past T=16
+            T //= 2
     while T and (N0 % T or N0 < 2 * T or T % 2):
         T //= 2
     if not T:
