@@ -113,6 +113,7 @@ class MaternMeshSampler:
         dtype=jnp.float64,
         seed: int = 0,
         observations=None,  # dict(sigma2=..., coords=..., radii=..., values=...)
+        hierarchy: str = "algebraic",  # or "geometric" (needs refinements>0)
         **mgmc_kwargs,
     ):
         from parmgmc_tpu.models import mesh as _mesh
@@ -121,8 +122,13 @@ class MaternMeshSampler:
 
         if mesh_file is not None:
             points, cells = _mesh.read_gmsh(mesh_file)
+        Ps = []
         for _ in range(refinements):
-            points, cells = _mesh.refine(points, cells)
+            if hierarchy == "geometric":
+                points, cells, P = _mesh.refine(points, cells, True)
+                Ps.append(P)
+            else:
+                points, cells = _mesh.refine(points, cells)
         self.points, self.cells = points, cells
         A = _mesh.matern_precision_mesh(points, cells, kappa)
         self.op = from_csr(A, dtype=dtype)
@@ -150,7 +156,40 @@ class MaternMeshSampler:
         self.operator = op
         self.b = f_int
 
-        self.sampler = MGMCSampler.create(op, **mgmc_kwargs)
+        if hierarchy == "geometric":
+            # the reference's geometric-MG-on-mesh configuration (ex9 /
+            # assembled_transfer.py): exact Galerkin on the P1 refinement
+            # chain; coarsest level = the unrefined input mesh
+            if not Ps:
+                raise ValueError("hierarchy='geometric' needs refinements>0")
+            from parmgmc_tpu.samplers.cholesky import CholeskySampler
+            from parmgmc_tpu.samplers.gibbs import GibbsSampler
+
+            n_levels = mgmc_kwargs.pop("n_levels", None)
+            if n_levels is not None:
+                Ps = Ps[-(n_levels - 1) :] if n_levels > 1 else []
+            mgmc_kwargs.pop("coarsest_size", None)
+            omega = mgmc_kwargs.pop("omega", 1.0)
+            sweep = mgmc_kwargs.pop("sweep", "forward")
+            ops, transfers = _mesh.geometric_mgmc_hierarchy(
+                op, Ps, dtype=dtype
+            )
+            self.sampler = MGMCSampler(
+                ops=tuple(ops),
+                transfers=transfers,
+                smoothers=tuple(
+                    GibbsSampler.create(o, omega=omega, sweep=sweep)
+                    for o in ops[:-1]
+                ),
+                coarse=CholeskySampler.create(ops[-1]),
+                n_pre=mgmc_kwargs.pop("n_pre", 1),
+                n_post=mgmc_kwargs.pop("n_post", 1),
+                n_levels=len(ops),
+                n_coarse=mgmc_kwargs.pop("n_coarse", 1),
+                gamma=mgmc_kwargs.pop("gamma", 1),
+            )
+        else:
+            self.sampler = MGMCSampler.create(op, **mgmc_kwargs)
         self.state = init_chain(self.sampler, jax.random.PRNGKey(seed))
         self._qoi: Optional[Callable] = None
         self._runners = {}

@@ -13,6 +13,7 @@ Also provides ``unit_square_mesh`` for self-contained tests.
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
@@ -21,6 +22,7 @@ __all__ = [
     "assemble_p1",
     "matern_precision_mesh",
     "refine",
+    "geometric_mgmc_hierarchy",
     "mesh_observation_mats",
 ]
 
@@ -151,11 +153,16 @@ def matern_precision_mesh(points, cells, kappa: float):
     return (kappa**2) * M + K
 
 
-def refine(points: np.ndarray, cells: np.ndarray):
+def refine(points: np.ndarray, cells: np.ndarray, return_transfer: bool = False):
     """Uniform simplex refinement: tri -> 4 tris, tet -> 8 tets.
 
     The analogue of the reference's mesh-refinement hierarchy setup
     (DMRefineHierarchy in ms.c:310-321 / ex13's refinement weak scaling).
+    With ``return_transfer`` also returns the P1 interpolation matrix
+    P (n_fine x n_coarse, CSR): kept vertices interpolate as identity,
+    edge midpoints as the mean of their edge's endpoints — the exact
+    coarse-to-fine embedding of P1 FEM spaces under uniform refinement
+    (what Firedrake/PCMG hand PETSc in ex9/assembled_transfer.py).
     """
     d = points.shape[1]
     k = cells.shape[1]
@@ -191,7 +198,91 @@ def refine(points: np.ndarray, cells: np.ndarray):
             ]
     else:
         raise ValueError("only tri/tet meshes")
-    return np.asarray(pts), np.asarray(new_cells)
+    if not return_transfer:
+        return np.asarray(pts), np.asarray(new_cells)
+    import scipy.sparse as sp
+
+    nc, nf = len(points), len(pts)
+    rows = list(range(nc))
+    cols = list(range(nc))
+    vals = [1.0] * nc
+    for (a, b), m in edge_mid.items():
+        rows += [m, m]
+        cols += [a, b]
+        vals += [0.5, 0.5]
+    P = sp.csr_matrix((vals, (rows, cols)), shape=(nf, nc))
+    return np.asarray(pts), np.asarray(new_cells), P
+
+
+def geometric_mgmc_hierarchy(op, Ps, dtype=None):
+    """(ops, transfers): GEOMETRIC Galerkin hierarchy on a refined mesh.
+
+    ``op`` is the GraphOperator (or LRCOperator over one) assembled on
+    the FINEST mesh of a refinement chain; ``Ps`` are the per-refinement
+    P1 interpolation matrices (coarse -> fine, original node orderings,
+    coarsest refinement first).  Each coarse operator is the EXACT
+    Galerkin triple product P^T A P computed in f64 scipy — the
+    ``-pc_mg_galerkin both`` contract that MGMC invariance depends on —
+    then colour-blocked via ``from_csr``; transfers are re-expressed in
+    both levels' internal orderings so device-side cycles never touch
+    permutations.  This is the reference's geometric-MG-on-mesh path
+    (ex9's Firedrake PCMG + assembled_transfer.py) — higher-quality
+    coarse spaces than smoothed aggregation when the refinement chain
+    is available.
+    """
+    import scipy.sparse as sp
+
+    from parmgmc_tpu.operators.graph import GraphOperator, from_csr
+    from parmgmc_tpu.operators.lrc import LRCOperator
+    from parmgmc_tpu.operators.transfer import sparse_transfer_from_csr
+
+    is_lrc = isinstance(op, LRCOperator)
+    base0 = op.base if is_lrc else op
+    assert isinstance(base0, GraphOperator)
+    if dtype is None:
+        dtype = base0.dtype
+
+    def to_csr_orig(g):
+        """CSR of g in the ORIGINAL node ordering."""
+        n = g.n
+        rows = np.repeat(np.arange(n), g.cols.shape[1])
+        A = sp.csr_matrix(
+            (
+                np.asarray(g.vals, np.float64).ravel(),
+                (rows, np.asarray(g.cols).ravel()),
+            ),
+            shape=(n, n),
+        )
+        A.setdiag(np.asarray(g.diag, np.float64))
+        A.eliminate_zeros()
+        ip = np.asarray(g.iperm)
+        return A[ip][:, ip]  # internal -> original
+
+    ops = [op]
+    transfers = []
+    A = to_csr_orig(base0)
+    fine_perm = np.asarray(base0.perm)
+    for P in reversed(Ps):
+        Ac = (P.T @ A @ P).tocsr()
+        Ac.eliminate_zeros()
+        coarse = from_csr(Ac, dtype=dtype)
+        P_int = sp.csr_matrix(P[fine_perm][:, np.asarray(coarse.perm)])
+        tr = sparse_transfer_from_csr(P_int, dtype=dtype)
+        transfers.append(tr)
+        if is_lrc:
+            cur = ops[-1]
+            Bc = jnp.stack(
+                [tr.restrict(cur.B[:, k]) for k in range(cur.B.shape[-1])],
+                axis=-1,
+            )
+            ops.append(
+                LRCOperator(base=coarse, B=Bc, sigma_inv=cur.sigma_inv)
+            )
+        else:
+            ops.append(coarse)
+        A = Ac
+        fine_perm = np.asarray(coarse.perm)
+    return ops, tuple(transfers)
 
 
 def mesh_observation_mats(

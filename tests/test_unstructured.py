@@ -235,3 +235,62 @@ def test_algebraic_mgmc_patch_smoother_invariance():
     assert type(smp.smoothers[0]).__name__ == "GraphPatchGibbsSampler"
     me, ce = invariance_error(smp, op, b)
     assert me < TOL and ce < TOL, (me, ce)
+
+
+def test_geometric_mesh_hierarchy_invariance():
+    """Geometric P1 Galerkin hierarchy (the reference's ex9/PCMG path):
+    refine-with-transfer, exact P^T A P per level, MGMC invariance for
+    prior AND posterior; the MaternMeshSampler hierarchy="geometric"
+    entry builds the same thing end-to-end."""
+    from parmgmc_tpu.models.matern import MaternMeshSampler
+    from parmgmc_tpu.models.mesh import (
+        geometric_mgmc_hierarchy,
+        matern_precision_mesh,
+        refine,
+    )
+    from parmgmc_tpu.samplers.cholesky import CholeskySampler
+    from parmgmc_tpu.samplers.gibbs import GibbsSampler
+    from parmgmc_tpu.samplers.mgmc import MGMCSampler
+
+    pts, cells = unit_square_mesh(3)
+    Ps = []
+    for _ in range(2):
+        pts, cells, P = refine(pts, cells, True)
+        Ps.append(P)
+    A = matern_precision_mesh(pts, cells, 2.0)
+    op = from_csr(A, dtype=jnp.float64)
+
+    ops, transfers = geometric_mgmc_hierarchy(op, Ps)
+    assert len(ops) == 3 and ops[-1].n == 16  # coarsest = unrefined mesh
+    rng = np.random.default_rng(5)
+    smp = MGMCSampler(
+        ops=tuple(ops),
+        transfers=transfers,
+        smoothers=tuple(GibbsSampler.create(o) for o in ops[:-1]),
+        coarse=CholeskySampler.create(ops[-1]),
+        n_pre=1,
+        n_post=1,
+        n_levels=len(ops),
+    )
+    b = jnp.asarray(rng.standard_normal(op.n))
+    me, ce = invariance_error(smp, op, b)
+    assert me < TOL and ce < TOL, (me, ce)
+
+    # end-to-end entry, posterior (LRC) variant
+    pts0, cells0 = unit_square_mesh(3)
+    ms = MaternMeshSampler(
+        points=pts0,
+        cells=cells0,
+        kappa=2.0,
+        refinements=2,
+        hierarchy="geometric",
+        observations=dict(
+            sigma2=0.1,
+            coords=np.asarray([[0.3, 0.4], [0.7, 0.6]]),
+            radii=np.asarray([0.15, 0.15]),
+            values=np.asarray([1.0, -0.5]),
+        ),
+    )
+    assert ms.sampler.n_levels == 3
+    me, ce = invariance_error(ms.sampler, ms.operator, ms.b)
+    assert me < 1e-9 and ce < 1e-9, (me, ce)
