@@ -114,6 +114,7 @@ class MaternMeshSampler:
         seed: int = 0,
         observations=None,  # dict(sigma2=..., coords=..., radii=..., values=...)
         hierarchy: str = "algebraic",  # or "geometric" (needs refinements>0)
+        order: int = 1,  # FE order: 1 = P1, 2 = CG2 (ex13's space)
         **mgmc_kwargs,
     ):
         from parmgmc_tpu.models import mesh as _mesh
@@ -130,7 +131,17 @@ class MaternMeshSampler:
             else:
                 points, cells = _mesh.refine(points, cells)
         self.points, self.cells = points, cells
-        A = _mesh.matern_precision_mesh(points, cells, kappa)
+        if order == 2:
+            if hierarchy == "geometric":
+                raise ValueError(
+                    "geometric hierarchy is P1-only; use algebraic for CG2"
+                )
+            A, self.dof_points = _mesh.matern_precision_mesh_p2(
+                points, cells, kappa
+            )
+        else:
+            A = _mesh.matern_precision_mesh(points, cells, kappa)
+            self.dof_points = points
         self.op = from_csr(A, dtype=dtype)
         self.n = self.op.n
 
@@ -144,6 +155,7 @@ class MaternMeshSampler:
                 observations["coords"],
                 observations["radii"],
                 observations.get("values"),
+                order=order,
             )
             B_int = jnp.asarray(B, dtype=dtype)[self.op.perm]
             op = LRCOperator(

@@ -20,7 +20,9 @@ __all__ = [
     "read_gmsh",
     "unit_square_mesh",
     "assemble_p1",
+    "assemble_p2",
     "matern_precision_mesh",
+    "matern_precision_mesh_p2",
     "refine",
     "geometric_mgmc_hierarchy",
     "mesh_observation_mats",
@@ -151,6 +153,113 @@ def matern_precision_mesh(points, cells, kappa: float):
     """A = kappa^2 M + K as scipy CSR (the ms.c weak form)."""
     K, M = assemble_p1(points, cells)
     return (kappa**2) * M + K
+
+
+def assemble_p2(points: np.ndarray, cells: np.ndarray):
+    """P2 (CG2) stiffness/mass: (K, M, dof_points) as scipy CSR.
+
+    The reference's benchmark spaces are CG2 (``examples/ex13.py``,
+    ``benchmark/problem_petsc.hh``); this assembles the same quadratic
+    Lagrange space on simplices.  DOFs = mesh vertices + edge midpoints.
+    Basis in barycentric coordinates: vertex phi_i = l_i(2 l_i - 1),
+    edge phi_ij = 4 l_i l_j; all element integrals use the EXACT
+    simplex monomial formula  int l^alpha = vol * d! * prod(a_k!) /
+    (|alpha| + d)!  — the integrands are polynomials of degree <= 4, so
+    there is no quadrature error at all.
+    """
+    import math as _math
+
+    import scipy.sparse as sp
+
+    d = points.shape[1]
+    assert cells.shape[1] == d + 1
+    ne = cells.shape[0]
+    nv = points.shape[0]
+    X = points[cells]
+
+    T = np.transpose(X[:, 1:] - X[:, :1], (0, 2, 1))
+    vol = np.abs(np.linalg.det(T)) / (1.0 if d == 1 else (2.0 if d == 2 else 6.0))
+    Tinv = np.linalg.inv(T)
+    G = np.zeros((ne, d + 1, d))
+    G[:, 1:, :] = Tinv
+    G[:, 0, :] = -Tinv.sum(axis=1)
+    GG = np.einsum("eid,ejd->eij", G, G)  # (ne, d+1, d+1)
+
+    # global edge-midpoint dof ids
+    locedges = [(i, j) for i in range(d + 1) for j in range(i + 1, d + 1)]
+    edge_id = {}
+    cell_edofs = np.zeros((ne, len(locedges)), dtype=np.int64)
+    pts_extra = []
+    for e in range(ne):
+        for q, (i, j) in enumerate(locedges):
+            a, b = int(cells[e, i]), int(cells[e, j])
+            key = (min(a, b), max(a, b))
+            if key not in edge_id:
+                edge_id[key] = nv + len(pts_extra)
+                pts_extra.append(0.5 * (points[a] + points[b]))
+            cell_edofs[e, q] = edge_id[key]
+    dof_points = np.concatenate([points, np.asarray(pts_extra)], axis=0)
+    loc_dofs = np.concatenate([cells, cell_edofs], axis=1)  # (ne, nloc)
+    nloc = loc_dofs.shape[1]
+    n = dof_points.shape[0]
+
+    # basis value polynomials: list of (monomial exponent tuple, coeff)
+    def mono(*pairs):
+        m = [0] * (d + 1)
+        for idx, p in pairs:
+            m[idx] += p
+        return tuple(m)
+
+    vals = []
+    grads = []  # list of (monomial, coeff, barycentric-gradient index)
+    for i in range(d + 1):
+        vals.append([(mono((i, 2)), 2.0), (mono((i, 1)), -1.0)])
+        grads.append([(mono((i, 1)), 4.0, i), (mono(), -1.0, i)])
+    for i, j in locedges:
+        vals.append([(mono((i, 1), (j, 1)), 4.0)])
+        grads.append([(mono((j, 1)), 4.0, i), (mono((i, 1)), 4.0, j)])
+
+    fact = _math.factorial
+
+    def integral(m):
+        """int_simplex prod l_k^{m_k} dV / vol."""
+        s = sum(m)
+        num = fact(d)
+        for mk in m:
+            num *= fact(mk)
+        return num / fact(s + d)
+
+    def madd(m1, m2):
+        return tuple(a + b for a, b in zip(m1, m2))
+
+    Ke = np.zeros((ne, nloc, nloc))
+    Me = np.zeros((ne, nloc, nloc))
+    for a in range(nloc):
+        for b in range(a + 1):
+            mv = 0.0
+            for m1, c1 in vals[a]:
+                for m2, c2 in vals[b]:
+                    mv += c1 * c2 * integral(madd(m1, m2))
+            Me[:, a, b] = Me[:, b, a] = mv * vol
+            kv = np.zeros(ne)
+            for m1, c1, g1 in grads[a]:
+                for m2, c2, g2 in grads[b]:
+                    kv += c1 * c2 * integral(madd(m1, m2)) * GG[:, g1, g2]
+            Ke[:, a, b] = Ke[:, b, a] = kv * vol
+
+    rows = np.repeat(loc_dofs, nloc, axis=1).ravel()
+    colS = np.tile(loc_dofs, (1, nloc)).ravel()
+    K = sp.csr_matrix((Ke.ravel(), (rows, colS)), shape=(n, n))
+    M = sp.csr_matrix((Me.ravel(), (rows, colS)), shape=(n, n))
+    K.sum_duplicates()
+    M.sum_duplicates()
+    return K, M, dof_points
+
+
+def matern_precision_mesh_p2(points, cells, kappa: float):
+    """(A, dof_points): the CG2 Matérn precision kappa^2 M + K."""
+    K, M, dof_points = assemble_p2(points, cells)
+    return (kappa**2) * M + K, dof_points
 
 
 def refine(points: np.ndarray, cells: np.ndarray, return_transfer: bool = False):
@@ -286,17 +395,21 @@ def geometric_mgmc_hierarchy(op, Ps, dtype=None):
 
 
 def mesh_observation_mats(
-    points, cells, sigma2, coords, radii, obsvals=None
+    points, cells, sigma2, coords, radii, obsvals=None, order: int = 1
 ):
     """Ball-average observation operators on a mesh (obs.c:135-173).
 
     Column i = M @ (indicator of ball i / vol(ball i)) with M the
-    consistent P1 mass matrix; S = Sigma^{-1} = ones/sigma2;
-    f = B (S * y_obs).  Returned in the mesh's ORIGINAL node ordering.
+    consistent P1 (or P2 with ``order=2``) mass matrix; S = Sigma^{-1} =
+    ones/sigma2; f = B (S * y_obs).  Returned in the mesh's ORIGINAL
+    node (resp. CG2 dof) ordering.
     """
     import math as _math
 
-    _, M = assemble_p1(points, cells)
+    if order == 2:
+        _, M, points = assemble_p2(points, cells)
+    else:
+        _, M = assemble_p1(points, cells)
     coords = np.asarray(coords, dtype=float)
     radii = np.asarray(radii, dtype=float)
     d = points.shape[1]

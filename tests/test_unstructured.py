@@ -294,3 +294,45 @@ def test_geometric_mesh_hierarchy_invariance():
     assert ms.sampler.n_levels == 3
     me, ce = invariance_error(ms.sampler, ms.operator, ms.b)
     assert me < 1e-9 and ce < 1e-9, (me, ce)
+
+
+def test_p2_assembly_exactness():
+    """CG2 assembly (ex13's space): machine-precision identities —
+    constants in the kernel of K, exact total mass, and EXACT energy /
+    L2 norm of a quadratic (P2 interpolates quadratics exactly and the
+    monomial-formula integration has no quadrature error)."""
+    from parmgmc_tpu.models.mesh import assemble_p2
+
+    pts, cells = unit_square_mesh(6)
+    K, M, dp = assemble_p2(pts, cells)
+    n = dp.shape[0]
+    assert abs(K @ np.ones(n)).max() < 1e-12
+    assert abs(M.sum() - 1.0) < 1e-12
+    u = dp[:, 0] ** 2 + dp[:, 0] * dp[:, 1]  # x^2 + xy
+    assert abs(u @ (K @ u) - 3.0) < 1e-11  # int |grad u|^2 over [0,1]^2
+    assert abs(u @ (M @ u) - 101.0 / 180.0) < 1e-12  # int u^2
+    assert np.linalg.eigvalsh((4.0 * M + K).toarray()).min() > 0
+
+
+def test_p2_matern_sampler_invariance():
+    """CG2 Matérn prior + posterior via MaternMeshSampler(order=2):
+    algebraic MGMC on the P2 operator, exactly invariant."""
+    from parmgmc_tpu.models.matern import MaternMeshSampler
+
+    pts, cells = unit_square_mesh(4)
+    ms = MaternMeshSampler(
+        points=pts,
+        cells=cells,
+        kappa=2.0,
+        order=2,
+        coarsest_size=16,
+        observations=dict(
+            sigma2=0.1,
+            coords=np.asarray([[0.35, 0.45]]),
+            radii=np.asarray([0.2]),
+            values=np.asarray([1.0]),
+        ),
+    )
+    assert ms.n == 25 + 56  # vertices + edges of the 4x4 triangulation
+    me, ce = invariance_error(ms.sampler, ms.operator, ms.b)
+    assert me < 1e-9 and ce < 1e-9, (me, ce)
