@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--posterior", action="store_true")
     ap.add_argument("--sigma2", type=float, default=2.5e-3)
     ap.add_argument("--dtype", default="f64", choices=["f32", "f64"])
+    ap.add_argument("--order", type=int, default=1, choices=[1, 2],
+                    help="FE order (2 = CG2, the reference ex13 space)")
+    ap.add_argument("--hierarchy", default="algebraic",
+                    choices=["algebraic", "geometric"],
+                    help="geometric needs --refine >= 1 and order 1")
     args = ap.parse_args()
 
     obs = None
@@ -54,6 +59,8 @@ def main():
         dtype=dtype,
         observations=obs,
         coarsest_size=128,
+        order=args.order,
+        hierarchy=args.hierarchy,
     )
     print(f"DOFs: {ms.n}   levels: {ms.sampler.n_levels}")
     ms.set_qoi(lambda x: jnp.mean(x))
