@@ -45,7 +45,6 @@ from parmgmc_tpu.kernels.rb_gibbs import (
     _auto_tile,
     _compiler_params,
     _eta_pair,
-    _eta_row,
     _mix,
     _shift_plane,
 )
@@ -109,22 +108,11 @@ def _kernel(
     c1lo, c1hi = fscal_ref[3], fscal_ref[4]
     c2lo, c2hi = fscal_ref[5], fscal_ref[6]
 
-    def eta_row(g):
-        """N(0,1) plane for GLOBAL row g + row_off from the paired
-        stream (kernels.rb_gibbs._eta_pair keying, so overlap/halo
-        recompute stays bit-identical across tiles and shards)."""
-        return _eta_row(su, stepu, g + row_off, N1, N2)
-
     def diag_row(g):
         gg = g + row_off
         up_ok = (gg >= 1).astype(jnp.float32)
         dn_ok = (gg <= N0G - 2).astype(jnp.float32)
         return kappa2 + hinv2 * (links_inplane + up_ok + dn_ok)
-
-    def btilde_row(braw_plane, g):
-        if with_noise:
-            return braw_plane + nscale * jnp.sqrt(diag_row(g)) * eta_row(g)
-        return braw_plane
 
     # ---- whole-window helpers (rows within a red/black phase are
     # independent, so each phase is ONE vector op over the (W, N1, N2)
