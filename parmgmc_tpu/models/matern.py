@@ -89,6 +89,16 @@ class MaternSampler:
         self.state, mean, var = run(self.sampler, self.state, self.b)
         return mean, var
 
+    def sample_chains(self, n: int, n_chains: int, burnin: int = 0):
+        """(n_chains, n, ...) QOI traces from vmapped independent chains.
+
+        The reference runs chains serially (ex6/ex7); on TPU a vmapped
+        chain axis is nearly free whenever cycles are launch-bound
+        (measured ~60x total ESS/sec at 32 chains on a 16k-node mesh —
+        BENCH_NOTES).  Chain states persist across calls per n_chains.
+        """
+        return _sample_chains(self, None, n, n_chains, burnin)
+
 
 class MaternMeshSampler:
     """Matérn sampling on an unstructured mesh via the algebraic hierarchy.
@@ -242,3 +252,41 @@ class MaternMeshSampler:
         run = self._runner("moments", n, burnin)
         self.state, mean, var = run(self.sampler, self.state, self.b)
         return mean[self.op.iperm], var[self.op.iperm]
+
+    def sample_chains(self, n: int, n_chains: int, burnin: int = 0):
+        """(n_chains, n, ...) QOI traces (original node ordering) from
+        vmapped independent chains — see MaternSampler.sample_chains."""
+        return _sample_chains(self, self.op.iperm, n, n_chains, burnin)
+
+
+def _sample_chains(ms, iperm, n, n_chains, burnin):
+    """Shared vmapped-chains driver for the Matérn façades.  Chain
+    states are created once per n_chains (keys forked from the main
+    chain's key) and persist on the façade for continuation; the jitted
+    runner takes sampler/states/b as ARGUMENTS (no closure constants)."""
+    rkey = ("chains", n, n_chains, burnin)
+    if rkey not in ms._runners:
+        user = ms._qoi or (lambda x: x)
+        if iperm is None:
+            extract = user
+        else:
+            extract = lambda x: user(x[iperm])
+        ms._runners[rkey] = jax.jit(
+            lambda smp, sts, bb: jax.vmap(
+                lambda st: sample_chain(
+                    smp, st, bb, n, extract=extract, burnin=burnin
+                )
+            )(sts)
+        )
+    if not hasattr(ms, "_chain_states"):
+        ms._chain_states = {}
+    if n_chains not in ms._chain_states:
+        keys = jax.random.split(
+            jax.random.fold_in(ms.state.key, n_chains), n_chains
+        )
+        ms._chain_states[n_chains] = jax.vmap(
+            lambda k: init_chain(ms.sampler, k)
+        )(keys)
+    sts, out = ms._runners[rkey](ms.sampler, ms._chain_states[n_chains], ms.b)
+    ms._chain_states[n_chains] = sts
+    return out

@@ -176,3 +176,22 @@ def test_fmg_init_is_near_stationary():
     # MC noise floor at 4000 samples is ~0.1 (ex1: 0.015 at 200k); a
     # cold non-FMG start at burnin=0 fails this bound badly
     assert rel < 0.15, rel
+
+
+def test_sample_chains_vmapped_facade():
+    """sample_chains: vmapped independent chains through the Matérn
+    façade — distinct traces per chain, persistent continuation, and a
+    cross-chain mean matching the (zero) field mean."""
+    from parmgmc_tpu.models.matern import MaternSampler
+
+    ms = MaternSampler((9, 9), kappa=10.0, dtype=jnp.float64, n_levels=2)
+    ms.set_qoi(lambda x: jnp.mean(x))
+    q = np.asarray(ms.sample_chains(200, 4, burnin=20))
+    assert q.shape == (4, 200)
+    assert np.isfinite(q).all()
+    assert len({tuple(np.round(row[:5], 12)) for row in q}) == 4  # distinct
+    q2 = np.asarray(ms.sample_chains(200, 4))  # continuation, no reinit
+    assert not np.allclose(q2[:, 0], q[:, 0])
+    pooled = np.concatenate([q, q2], axis=1).mean()
+    sd = np.concatenate([q, q2], axis=1).std() / np.sqrt(4 * 400 / 4.0)
+    assert abs(pooled) < 5 * sd + 1e-3
