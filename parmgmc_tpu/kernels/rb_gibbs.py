@@ -34,7 +34,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_rb_gibbs_sweep", "fused_rb_gibbs_sweep_fd"]
+__all__ = [
+    "fused_rb_gibbs_sweep",
+    "fused_rb_gibbs_sweep_fd",
+    "fused_rb_gibbs_sweep_2d",
+    "fused_sweep_supported",
+]
 
 _TWO_PI = 6.283185307179586
 
@@ -47,6 +52,13 @@ VMEM_LIMIT = 110 * 1024 * 1024
 
 def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+
+
+# Planes up to _PLANE_LIMIT points fit the whole-plane sliding-window
+# kernels (512^2 with margin); larger planes dispatch to the 2D-tiled
+# kernel (v3 below), whose in-plane halo/noise blocks are _JB rows.
+_PLANE_LIMIT = 448 * 1024
+_JB = 8
 
 
 def _auto_tile(n0, plane_bytes, coef, const, requested, t_min=4, n0_min_mult=2):
@@ -78,15 +90,9 @@ def _mix(a, b):
     return x
 
 
-def _eta_pair(su, stepu, g_even, n1, n2):
-    """(eta_even, eta_odd): N(0,1) planes for GLOBAL rows g_even and
-    g_even+1 from ONE PRNG draw + ONE Box-Muller evaluation (the cos and
-    sin branches).  Keyed by (seed, step, g_even), so any tile or shard
-    that touches either row of the pair regenerates bit-identical values.
-    Halves the transcendental cost vs a draw per row — the noise was
-    ~1 ms of the 2.1 ms chain down-phase at 256^3."""
-    gu = g_even.astype(jnp.uint32)
-    h = _mix(_mix(su, stepu), gu)
+def _eta_draw(h, n1, n2):
+    """Two N(0,1) (n1, n2) slabs from hash h: one PRNG draw + one
+    Box-Muller evaluation (the cos and sin branches)."""
     pltpu.prng_seed(h.astype(jnp.int32))
     bits = pltpu.bitcast(pltpu.prng_random_bits((2, n1, n2)), jnp.uint32)
     # >>9 leaves 23 bits, so the int32 view is exact (Mosaic has no
@@ -98,6 +104,27 @@ def _eta_pair(su, stepu, g_even, n1, n2):
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     th = _TWO_PI * u2
     return r * jnp.cos(th), r * jnp.sin(th)
+
+
+def _eta_pair(su, stepu, g_even, n1, n2):
+    """(eta_even, eta_odd): N(0,1) planes for GLOBAL rows g_even and
+    g_even+1.  Keyed by (seed, step, g_even), so any tile or shard
+    that touches either row of the pair regenerates bit-identical values.
+    Halves the transcendental cost vs a draw per row — the noise was
+    ~1 ms of the 2.1 ms chain down-phase at 256^3."""
+    gu = g_even.astype(jnp.uint32)
+    return _eta_draw(_mix(_mix(su, stepu), gu), n1, n2)
+
+
+def _eta_pair_blk(su, stepu, g_even, jb, n2):
+    """(eta_even, eta_odd): N(0,1) (_JB, n2) slabs for GLOBAL rows
+    (g_even, g_even+1) restricted to axis-1 rows [jb*_JB, (jb+1)*_JB).
+    Keyed by (seed, step, g_even, jb): the 2D-tiled kernel's in-plane
+    analogue of the row-keyed stream — any tile whose (aligned) window
+    overlaps the block regenerates bit-identical values."""
+    gu = g_even.astype(jnp.uint32)
+    ju = jb.astype(jnp.uint32)
+    return _eta_draw(_mix(_mix(_mix(su, stepu), gu), ju), _JB, n2)
 
 
 def _eta_row(su, stepu, g, n1, n2):
@@ -236,6 +263,21 @@ def fused_rb_gibbs_sweep(
     sweep (used by exactness tests against the lax path).
     """
     N0, N1, N2 = x.shape
+    if N1 * N2 > _PLANE_LIMIT:
+        # whole-plane windows exceed VMEM: 2D-tiled variant
+        return fused_rb_gibbs_sweep_2d(
+            x,
+            b,
+            diag,
+            coeffs,
+            omega,
+            seed,
+            step,
+            noise_mult=noise_mult,
+            sweep=sweep,
+            interpret=interpret,
+            with_noise=with_noise,
+        )
     T = tile
     # T even keeps tile starts (and the s = i0*T - 2 / N0 - W clip
     # endpoints) even, so the paired noise stream stays row-aligned.
@@ -497,6 +539,30 @@ def fused_rb_gibbs_sweep_fd(
     N0, N1, N2 = x.shape
     if n0_global is None:
         n0_global = N0
+    if N1 * N2 > _PLANE_LIMIT:
+        # whole-plane windows exceed VMEM: 2D-tiled variant (recomputes
+        # the FD diagonal in-kernel, so still no diag HBM traffic)
+        return fused_rb_gibbs_sweep_2d(
+            x,
+            b,
+            None,
+            coeffs,
+            omega,
+            seed,
+            step,
+            noise_mult=noise_mult,
+            sweep=sweep,
+            interpret=interpret,
+            with_noise=with_noise,
+            fd_params=jnp.stack(
+                [
+                    jnp.asarray(kappa2, jnp.float32),
+                    jnp.asarray(hinv2, jnp.float32),
+                ]
+            ),
+            row_offset=row_offset,
+            n0_global=n0_global,
+        )
     # VMEM planes: scratch 4T+9 + double-buffered x/b/out blocks 6T +
     # whole-window phase temporaries (~5 windows)
     T = _auto_tile(N0, N1 * N2 * 4, 15, 29, tile, t_min=2)
@@ -567,3 +633,318 @@ def fused_rb_gibbs_sweep_fd(
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(fscal, iscal, x, b)
+
+
+# ---------------------------------------------------------------------------
+# v3: 2D-tiled window sweep for planes too large for whole-plane VMEM
+# windows (> _PLANE_LIMIT points: 768^2 and up).
+#
+# The grid is (N0//T0, N1//T1); each program DMAs a halo-extended
+# (T0+4, T1+2*_JB, N2) window, regenerates the stochastic RHS for the
+# window, runs both colour phases as whole-window vector ops, and writes
+# the interior (T0, T1, N2) block.  Axis-1 windows are kept _JB-aligned
+# (halo width = _JB >= the 2 rows the two phases need), so noise can be
+# keyed by (seed, step, row-pair, axis-1 block): overlapping halo
+# regions recompute bit-identical b~ in adjacent tiles — the same
+# self-consistency argument as the row-keyed 1D kernels, extended
+# in-plane.  This closes the reference's scale-free hot loop
+# (/root/reference/src/mc_sor.c:298-381) at any plane size.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_2d(
+    fscal_ref,  # SMEM (10,) f32: omega, c0lo..c2hi, noise_mult, kappa2, hinv2
+    iscal_ref,  # SMEM (4,) i32: seed, color0, step, row_off
+    *refs,
+    T0: int,
+    T1: int,
+    shape: tuple,
+    with_noise: bool,
+    fd: bool,
+    n0_global: int,
+):
+    N0, N1, N2 = shape
+    N0G = n0_global
+    if fd:
+        x_hbm, b_hbm, o_ref, xw, bt, sem = refs
+        dw = None
+    else:
+        x_hbm, b_hbm, d_hbm, o_ref, xw, bt, dw, sem = refs
+    W0 = T0 + 4
+    W1 = min(T1 + 2 * _JB, N1)
+    i0 = pl.program_id(0)
+    i1 = pl.program_id(1)
+    # s0 is even (T0 and the clip endpoint are even); s1 is a multiple of
+    # _JB (T1 % _JB == 0 and N1 - W1 % _JB == 0), so noise pairs and
+    # noise blocks stay globally aligned in every window.
+    s0 = pl.multiple_of(jnp.clip(i0 * T0 - 2, 0, N0 - W0), 2)
+    s1 = pl.multiple_of(jnp.clip(i1 * T1 - _JB, 0, N1 - W1), _JB)
+
+    cps = [
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(s0, W0), pl.ds(s1, W1)], xw, sem.at[0]
+        ),
+        pltpu.make_async_copy(
+            b_hbm.at[pl.ds(s0, W0), pl.ds(s1, W1)], bt, sem.at[1]
+        ),
+    ]
+    if not fd:
+        cps.append(
+            pltpu.make_async_copy(
+                d_hbm.at[pl.ds(s0, W0), pl.ds(s1, W1)], dw, sem.at[2]
+            )
+        )
+    for c in cps:
+        c.start()
+    for c in cps:
+        c.wait()
+
+    omega = fscal_ref[0]
+    noise_mult = fscal_ref[7]
+    kappa2 = fscal_ref[8]
+    hinv2 = fscal_ref[9]
+    seed = iscal_ref[0]
+    color0 = iscal_ref[1]
+    step = iscal_ref[2]
+    row_off = iscal_ref[3]
+    su = seed.astype(jnp.uint32)
+    stepu = step.astype(jnp.uint32)
+    nscale = jnp.sqrt((2.0 - omega) / omega) * noise_mult
+
+    # ---- b~ = b + nscale * sqrt(diag) * eta, (row-pair, j-block) keyed.
+    if with_noise:  # static: the deterministic path carries no PRNG ops
+        nq = W1 // _JB
+        kkb = jax.lax.broadcasted_iota(jnp.int32, (_JB, N2), 1)
+        lanes_ip = (kkb >= 1).astype(jnp.float32) + (kkb <= N2 - 2).astype(
+            jnp.float32
+        )
+        jlb = jax.lax.broadcasted_iota(jnp.int32, (_JB, N2), 0)
+
+        def noise_blk(t, _):
+            c = t // nq
+            q = t - c * nq
+            l = 2 * c
+            off = q * _JB
+            g = s0 + row_off + l
+            jb = s1 // _JB + q
+            ee, eo = _eta_pair_blk(su, stepu, g, jb, N2)
+            if fd:
+                jg = jlb + (s1 + off)
+                links_ip = (
+                    lanes_ip
+                    + (jg >= 1).astype(jnp.float32)
+                    + (jg <= N1 - 2).astype(jnp.float32)
+                )
+
+                def dslab(gr):
+                    ok = (gr >= 1).astype(jnp.float32) + (
+                        gr <= N0G - 2
+                    ).astype(jnp.float32)
+                    return kappa2 + hinv2 * (links_ip + ok)
+
+                de, do = dslab(g), dslab(g + 1)
+            else:
+                de = dw[l, pl.ds(off, _JB)]
+                do = dw[l + 1, pl.ds(off, _JB)]
+            bt[l, pl.ds(off, _JB)] = bt[l, pl.ds(off, _JB)] + (
+                nscale * jnp.sqrt(de) * ee
+            )
+            bt[l + 1, pl.ds(off, _JB)] = bt[l + 1, pl.ds(off, _JB)] + (
+                nscale * jnp.sqrt(do) * eo
+            )
+            return 0
+
+        jax.lax.fori_loop(0, (W0 // 2) * nq, noise_blk, 0, unroll=False)
+
+    # ---- whole-window phases (rows within a phase are independent) ------
+    ll3 = jax.lax.broadcasted_iota(jnp.int32, (W0, W1, N2), 0)
+    jj3 = jax.lax.broadcasted_iota(jnp.int32, (W0, W1, N2), 1)
+    kk3 = jax.lax.broadcasted_iota(jnp.int32, (W0, W1, N2), 2)
+    # s0 + row_off and s1 are even: parity reduces to local indices
+    par3 = (ll3 + jj3 + kk3) % 2
+    g3 = (s0 + row_off) + ll3
+    up_ok3 = (g3 >= 1).astype(jnp.float32)
+    dn_ok3 = (g3 <= N0G - 2).astype(jnp.float32)
+    if fd:
+        jg3 = s1 + jj3
+        links3 = (
+            up_ok3
+            + dn_ok3
+            + (jg3 >= 1).astype(jnp.float32)
+            + (jg3 <= N1 - 2).astype(jnp.float32)
+            + (kk3 >= 1).astype(jnp.float32)
+            + (kk3 <= N2 - 2).astype(jnp.float32)
+        )
+        diag3 = kappa2 + hinv2 * links3
+    else:
+        diag3 = dw[:]
+
+    c0lo, c0hi = fscal_ref[1], fscal_ref[2]
+    c1lo, c1hi = fscal_ref[3], fscal_ref[4]
+    c2lo, c2hi = fscal_ref[5], fscal_ref[6]
+
+    # Axis-1/2 shifts zero-fill at window edges: correct at true domain
+    # boundaries (always window edges), and harmless elsewhere because
+    # only halo rows (discarded) see the window edge.
+    def phase(color):
+        xv = xw[:]
+        sumn3 = (
+            c0lo * up_ok3 * _shift_plane(xv, 0, -1, W0)
+            + c0hi * dn_ok3 * _shift_plane(xv, 0, 1, W0)
+            + c1lo * _shift_plane(xv, 1, -1, W1)
+            + c1hi * _shift_plane(xv, 1, 1, W1)
+            + c2lo * _shift_plane(xv, 2, -1, N2)
+            + c2hi * _shift_plane(xv, 2, 1, N2)
+        )
+        upd3 = (1.0 - omega) * xv + (omega / diag3) * (bt[:] - sumn3)
+        xw[:] = jnp.where(par3 == color, upd3, xv)
+
+    phase(color0)
+    phase(1 - color0)
+
+    base0 = pl.multiple_of(i0 * T0 - s0, 2)
+    base1 = pl.multiple_of(i1 * T1 - s1, _JB)
+    o_ref[:] = xw[pl.ds(base0, T0), pl.ds(base1, T1)]
+
+
+def _tile2d_auto(N0, N1, N2, streams, requested=None):
+    """(T0, T1) for the 2D-tiled kernel.  Tall tiles amortise the fixed
+    (4, 2*_JB) halos: measured at 768^3 on the chip, (4,256) sweeps in
+    61 ms, (16,128) in 44 ms, (24,128) in 41.7 ms; (16,256) fails to
+    compile (VMEM).  Prefer the tallest T0 <= 16 (compile time roughly
+    doubles by T0=24 for ~5% more speed), then the widest in-budget T1.
+    Caps are measured: (16,128) windows (2.21M points) compile in 42 s,
+    but (16,192) (3.19M) never finishes — Mosaic compile time explodes
+    somewhere between, so the cap sits just above the proven point."""
+    if requested is not None:
+        return requested
+    vol_cap = 2_400_000
+    budget = VMEM_LIMIT
+    for T0 in (16, 8, 4, 2):
+        if N0 % T0 or N0 < T0 + 4:
+            continue
+        for T1 in range(N1, _JB - 1, -_JB):
+            if N1 % T1:
+                continue
+            W1 = min(T1 + 2 * _JB, N1)
+            if W1 % _JB:
+                continue
+            vol = (T0 + 4) * W1 * N2
+            if vol <= vol_cap and (streams + 6) * vol * 4 <= budget:
+                return T0, T1
+    raise ValueError(
+        f"no feasible 2D tile for grid ({N0}, {N1}, {N2}) "
+        f"(needs N1 % {_JB} == 0 and an in-budget window)"
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sweep", "tile2d", "interpret", "with_noise", "n0_global"),
+)
+def fused_rb_gibbs_sweep_2d(
+    x,
+    b,
+    diag,  # (N0, N1, N2) f32, or None when fd_params is given
+    coeffs,  # (6,) f32
+    omega,
+    seed,
+    step,
+    noise_mult=1.0,
+    sweep: str = "forward",
+    tile2d: "tuple | None" = None,
+    interpret: bool = False,
+    with_noise: bool = True,
+    fd_params=None,  # (2,) f32 (kappa2, hinv2): recompute diag in-kernel
+    row_offset=0,  # global row of array row 0 (traced; shard_map use)
+    n0_global: "int | None" = None,
+):
+    """One fused stochastic red/black SOR sweep, 2D-tiled for planes that
+    exceed the whole-plane VMEM window (_PLANE_LIMIT points).
+
+    Semantics match :func:`fused_rb_gibbs_sweep` /
+    :func:`fused_rb_gibbs_sweep_fd`; only the noise keying differs (the
+    stream is additionally keyed by the axis-1 _JB-block so tiles can
+    regenerate it locally)."""
+    N0, N1, N2 = x.shape
+    if n0_global is None:
+        n0_global = N0
+    fd = fd_params is not None
+    streams = 2 if fd else 3
+    T0, T1 = _tile2d_auto(N0, N1, N2, streams, tile2d)
+    W0, W1 = T0 + 4, min(T1 + 2 * _JB, N1)
+    if N0 % T0 or T0 % 2 or N0 < W0:
+        raise ValueError(f"bad axis-0 tile {T0} for {N0}")
+    if N1 % T1 or T1 % _JB or W1 % _JB:
+        raise ValueError(f"bad axis-1 tile {T1} for {N1}")
+    color0 = 0 if sweep == "forward" else 1
+
+    if fd:
+        k2, h2 = fd_params[0], fd_params[1]
+    else:
+        k2 = h2 = jnp.float32(0.0)
+    fscal = jnp.concatenate(
+        [
+            jnp.asarray([omega], jnp.float32),
+            jnp.asarray(coeffs, jnp.float32).reshape(6),
+            jnp.asarray([noise_mult], jnp.float32),
+            jnp.stack([jnp.asarray(k2, jnp.float32), jnp.asarray(h2, jnp.float32)]),
+        ]
+    )
+    iscal = jnp.stack(
+        [
+            jnp.asarray(seed, jnp.int32),
+            jnp.asarray(color0, jnp.int32),
+            jnp.asarray(step, jnp.int32),
+            jnp.asarray(row_offset, jnp.int32),
+        ]
+    )
+
+    kern = functools.partial(
+        _kernel_2d,
+        T0=T0,
+        T1=T1,
+        shape=(N0, N1, N2),
+        with_noise=with_noise,
+        fd=fd,
+        n0_global=n0_global,
+    )
+    win = pltpu.VMEM((W0, W1, N2), jnp.float32)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    if fd:
+        in_specs = [smem, smem, any_spec, any_spec]
+        scratch = [win, win, pltpu.SemaphoreType.DMA((2,))]
+        operands = (fscal, iscal, x, b)
+    else:
+        in_specs = [smem, smem, any_spec, any_spec, any_spec]
+        scratch = [win, win, win, pltpu.SemaphoreType.DMA((3,))]
+        operands = (fscal, iscal, x, b, diag)
+    return pl.pallas_call(
+        kern,
+        grid=(N0 // T0, N1 // T1),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (T0, T1, N2), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(*operands)
+
+
+def fused_sweep_supported(shape) -> bool:
+    """Can the fused sweep kernels (1D whole-plane or 2D-tiled) serve a
+    3D grid of this shape?  (Plane-size half of the eligibility test —
+    the operator-form half lives in samplers.gibbs._fused_eligible.)"""
+    N0, N1, N2 = shape
+    if N1 * N2 <= _PLANE_LIMIT:
+        return True
+    if N1 % _JB:
+        return False
+    try:
+        _tile2d_auto(N0, N1, N2, streams=3)
+        return True
+    except ValueError:
+        return False

@@ -121,6 +121,37 @@ def _to_dense_jit(op: "StencilOperator") -> jax.Array:
     return cols.T  # cols[i] = A e_i is column i
 
 
+def fd_stencil(
+    grid_shape: Sequence[int], kappa2: float, hinv2: float, dtype=jnp.float32
+) -> StencilOperator:
+    """Link-count-form FD star operator: off-diagonals ``-hinv2``,
+    diagonal ``kappa2 + hinv2 * #in-grid neighbours``.  The diagonal is
+    built on DEVICE from iotas — no grid-sized host constant, so setup
+    at 768^3 neither allocates gigabytes of host memory nor drags them
+    through the remote-device tunnel."""
+    grid_shape = tuple(int(s) for s in grid_shape)
+    d = len(grid_shape)
+
+    offsets = []
+    for axis in range(d):
+        for s in (-1, 1):
+            off = [0] * d
+            off[axis] = s
+            offsets.append(tuple(off))
+
+    links = jnp.zeros(grid_shape, dtype)
+    for ax in range(d):
+        i = jax.lax.broadcasted_iota(jnp.int32, grid_shape, ax)
+        links = (
+            links
+            + (i >= 1).astype(dtype)
+            + (i <= grid_shape[ax] - 2).astype(dtype)
+        )
+    diag = jnp.asarray(kappa2, dtype) + jnp.asarray(hinv2, dtype) * links
+    coeffs = tuple(jnp.asarray(-hinv2, dtype=dtype) for _ in offsets)
+    return StencilOperator(offsets=tuple(offsets), coeffs=coeffs, diag=diag)
+
+
 def shifted_laplace_fd(
     grid_shape: Sequence[int], kappa: float, dtype=jnp.float32
 ) -> StencilOperator:
@@ -132,34 +163,33 @@ def shifted_laplace_fd(
     ``kappa^2`` plus ``1/h^2`` for each neighbour that exists.
     """
     grid_shape = tuple(int(s) for s in grid_shape)
-    d = len(grid_shape)
     hinv2 = float((grid_shape[0] - 1) ** 2)
+    return fd_stencil(grid_shape, float(kappa) ** 2, hinv2, dtype)
 
-    offsets = []
-    for axis in range(d):
-        for s in (-1, 1):
-            off = [0] * d
-            off[axis] = s
-            offsets.append(tuple(off))
 
-    # Diagonal counts existing links: kappa^2 + hinv2 * (#in-grid neighbours).
-    diag = np.full(grid_shape, float(kappa) ** 2)
-    for off in offsets:
-        exists = np.ones(grid_shape)
-        for axis, o in enumerate(off):
-            idx = [slice(None)] * d
-            if o == -1:
-                idx[axis] = 0
-                exists[tuple(idx)] = 0.0
-            elif o == 1:
-                idx[axis] = grid_shape[axis] - 1
-                exists[tuple(idx)] = 0.0
-        diag += hinv2 * exists
-
-    coeffs = tuple(jnp.asarray(-hinv2, dtype=dtype) for _ in offsets)
-    return StencilOperator(
-        offsets=tuple(offsets), coeffs=coeffs, diag=jnp.asarray(diag, dtype=dtype)
-    )
+def detect_fd_params(op: "StencilOperator") -> "jax.Array | None":
+    """(kappa2, hinv2) f32 stack if diag == kappa2 + hinv2 * #in-grid
+    links and all off-diagonals equal -hinv2 (the link-count FD pattern,
+    i.e. exactly what :func:`fd_stencil` builds); else None."""
+    c0 = op.coeffs[0]
+    if not all(bool(jnp.allclose(c, c0)) for c in op.coeffs[1:]):
+        return None
+    hinv2 = -c0
+    d = op.ndim
+    shape = op.grid_shape
+    links = jnp.zeros(shape, op.dtype)
+    for ax in range(d):
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, ax)
+        links = links + (i >= 1) + (i <= shape[ax] - 2)
+    kappa2 = op.diag.reshape(-1)[op.n // 2] - hinv2 * links.reshape(-1)[op.n // 2]
+    expected = kappa2 + hinv2 * links
+    if bool(jnp.allclose(op.diag, expected, rtol=1e-6)):
+        # operator dtype (not f32): the hierarchy builder scales these
+        # exactly; kernel wrappers cast to f32 at the call site
+        return jnp.stack(
+            [kappa2.astype(op.dtype), jnp.asarray(hinv2, op.dtype)]
+        )
+    return None
 
 
 # ---------------------------------------------------------------------------

@@ -216,6 +216,9 @@ def _level_shardable(sampler, l, n_dev, min_local):
         and n1 % 2 == 0
         and n2 % 2 == 0
         and n2 % 128 == 0
+        # the sharded down kernel (kernels.mg_sweep) holds whole
+        # (n1, n2) planes in VMEM; no 2D-tiled down variant yet
+        and n1 * n2 <= 448 * 1024
     )
 
 

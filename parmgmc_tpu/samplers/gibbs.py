@@ -73,31 +73,23 @@ def _op_sweep(base, b, x, omega, sweep):
 
 
 def _detect_fd(base) -> "jax.Array | None":
-    """(kappa2, hinv2) if diag == kappa2 + hinv2 * #in-grid-links and all
-    off-diagonals equal -hinv2 (the shifted-Laplace FD pattern); else None.
-    Enables the pipelined kernel variant that recomputes the diagonal
-    on-chip instead of streaming it from HBM."""
-    c0 = base.coeffs[0]
-    if not all(
-        bool(jnp.allclose(c, c0)) for c in base.coeffs[1:]
-    ):
-        return None
-    hinv2 = -c0
-    d = base.ndim
-    shape = base.grid_shape
-    links = jnp.zeros(shape, base.dtype)
-    for ax in range(d):
-        i = jax.lax.broadcasted_iota(jnp.int32, shape, ax)
-        links = links + (i >= 1) + (i <= shape[ax] - 2)
-    kappa2 = base.diag.reshape(-1)[base.n // 2] - hinv2 * links.reshape(-1)[base.n // 2]
-    expected = kappa2 + hinv2 * links
-    if bool(jnp.allclose(base.diag, expected, rtol=1e-6)):
-        return jnp.stack([kappa2.astype(jnp.float32), hinv2.astype(jnp.float32)])
-    return None
+    """(kappa2, hinv2) if the operator is in link-count FD form (enables
+    the pipelined kernels that recompute the diagonal on chip instead of
+    streaming it from HBM).  Logic lives in operators.stencil so the
+    hierarchy builder can share it."""
+    from parmgmc_tpu.operators.stencil import detect_fd_params
+
+    return detect_fd_params(base)
 
 
 def _fused_eligible(base) -> bool:
-    """Can the Pallas fused red/black sweep kernel serve this operator?"""
+    """Can a Pallas fused red/black sweep kernel serve this operator?
+    Planes up to ~448K points run the whole-plane sliding-window kernels;
+    bigger planes run the 2D-tiled variant (kernels.rb_gibbs v3), which
+    additionally needs N1 % 8 == 0 and an in-budget window tile —
+    ``fused_sweep_supported`` checks both regimes."""
+    from parmgmc_tpu.kernels.rb_gibbs import fused_sweep_supported
+
     return (
         isinstance(base, StencilOperator)
         and base.ndim == 3
@@ -108,12 +100,7 @@ def _fused_eligible(base) -> bool:
         and base.grid_shape[0] % 2 == 0
         and base.grid_shape[0] >= 8
         and base.grid_shape[2] % 128 == 0
-        # kernel scratch is whole (N1, N2) planes: the worst kernel
-        # (fused_chain_down_fd) holds ~64 plane-equivalents of VMEM, and
-        # the chip accepts ~110 MiB of scoped vmem (kernels.rb_gibbs
-        # VMEM_LIMIT) -> planes up to ~448K points; 512^2 fits with
-        # margin, 768^2 does not (2D tiling would be needed there)
-        and base.grid_shape[1] * base.grid_shape[2] <= 448 * 1024
+        and fused_sweep_supported(base.grid_shape)
     )
 
 

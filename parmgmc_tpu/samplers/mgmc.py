@@ -39,6 +39,8 @@ from parmgmc_tpu.operators.stencil import (
     StencilOperator,
     coarse_shape,
     compress_stencil,
+    detect_fd_params,
+    fd_stencil,
     galerkin_coarse_operator,
 )
 from parmgmc_tpu.operators.transfer import AggregateTransfer, GeometricTransfer
@@ -81,7 +83,31 @@ def build_hierarchy(op, n_levels=None, coarsest_size=128, coarsening="linear"):
             tr = AggregateTransfer(fine_shape=tuple(gshape))
         else:
             tr = GeometricTransfer(fine_shape=tuple(gshape))
-        coarse_base = compress_stencil(galerkin_coarse_operator(base, tr))
+        fd = (
+            detect_fd_params(base)
+            if coarsening == "aggregate"
+            and all(s % 2 == 0 for s in gshape)
+            else None
+        )
+        if fd is not None:
+            # Closed-form aggregate Galerkin: P^T A P of a link-count FD
+            # operator under 2^d block-sum aggregation is again link-count
+            # FD with kappa2' = 2^d kappa2, hinv2' = 2^(d-1) hinv2 (the
+            # 2^d block absorbs its internal edges into the mass term and
+            # each coarse face carries 2^(d-1) fine edges).  Equal to the
+            # comb-probed P^T A P exactly (tests), but O(1) setup — the
+            # probe path materialises 4^d comb responses plus gather
+            # indices, which OOMs 16 GB of HBM at the 384^3 level.
+            d = base.ndim
+            k2, h2 = float(fd[0]), float(fd[1])
+            coarse_base = fd_stencil(
+                coarse_shape(gshape),
+                (2**d) * k2,
+                (2 ** (d - 1)) * h2,
+                dtype=base.dtype,
+            )
+        else:
+            coarse_base = compress_stencil(galerkin_coarse_operator(base, tr))
         transfers.append(tr)
         if is_lrc:
             ndim = base.ndim
@@ -232,6 +258,12 @@ class MGMCSampler:
         if not isinstance(self.transfers[l], AggregateTransfer):
             return False
         gshape = self.ops[l].grid_shape
+        # the down kernels (kernels.mg_sweep) hold whole (N1, N2) planes
+        # in VMEM and have no 2D-tiled variant: beyond this plane size
+        # the smoother still sweeps fused (2D-tiled kernel) but the
+        # down-phase composition runs the lax path
+        if gshape[1] * gshape[2] > 448 * 1024:
+            return False
         return all(d % 2 == 0 for d in gshape)
 
     def _fused_down(self, l: int, bl, key):

@@ -114,3 +114,67 @@ def test_fused_chain_down_matches_lax(sweep, shape):
     erc = float(jnp.abs(rc - rc_ref).max() / jnp.abs(rc_ref).max())
     assert exy < 1e-5, exy
     assert erc < 1e-4, erc
+
+
+@pytest.mark.parametrize("sweep", ["forward", "backward"])
+@pytest.mark.parametrize("tile2d", [(4, 8), (4, 16), (2, 32)])
+def test_fused_2d_sweep_matches_lax(sweep, tile2d):
+    """kernels.rb_gibbs v3 (2D-tiled window): deterministic sweep must
+    match the lax multicolor sweep exactly for general (diag-streamed)
+    and FD (diag-recomputed) modes, at several in-plane tilings."""
+    from parmgmc_tpu.kernels.rb_gibbs import fused_rb_gibbs_sweep_2d
+
+    shape = (8, 32, 128)
+    op = shifted_laplace_fd(shape, 1.7, dtype=jnp.float32)
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, shape, jnp.float32)
+    b = jax.random.normal(jax.random.fold_in(key, 1), shape, jnp.float32)
+    coeffs = jnp.asarray([float(c) for c in op.coeffs], jnp.float32)
+    ref = sor_sweep(op, b, x, 1.3, sweep)
+    out = fused_rb_gibbs_sweep_2d(
+        x, b, op.diag, coeffs, 1.3, 0, 0,
+        noise_mult=0.0, sweep=sweep, tile2d=tile2d,
+        interpret=True, with_noise=False,
+    )
+    err = float(jnp.abs(ref - out).max() / jnp.abs(ref).max())
+    assert err < 1e-5, err
+    hinv2 = -float(op.coeffs[0])
+    out_fd = fused_rb_gibbs_sweep_2d(
+        x, b, None, coeffs, 1.3, 0, 0,
+        noise_mult=0.0, sweep=sweep, tile2d=tile2d,
+        interpret=True, with_noise=False,
+        fd_params=jnp.asarray([1.7**2, hinv2], jnp.float32),
+    )
+    err = float(jnp.abs(ref - out_fd).max() / jnp.abs(ref).max())
+    assert err < 1e-5, err
+
+
+def test_fused_2d_sweep_sharded_offsets():
+    """The 2D kernel's global-row keying (row_offset / n0_global) must
+    reproduce the interior of the full-grid sweep when applied to a
+    halo-extended local block — the shard_map usage pattern."""
+    from parmgmc_tpu.kernels.rb_gibbs import fused_rb_gibbs_sweep_2d
+
+    shape = (16, 32, 128)
+    op = shifted_laplace_fd(shape, 1.7, dtype=jnp.float32)
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, shape, jnp.float32)
+    b = jax.random.normal(jax.random.fold_in(key, 1), shape, jnp.float32)
+    coeffs = jnp.asarray([float(c) for c in op.coeffs], jnp.float32)
+    hinv2 = -float(op.coeffs[0])
+    fd = jnp.asarray([1.7**2, hinv2], jnp.float32)
+    full = fused_rb_gibbs_sweep_2d(
+        x, b, None, coeffs, 1.0, 0, 0,
+        noise_mult=0.0, sweep="forward", tile2d=(4, 8),
+        interpret=True, with_noise=False, fd_params=fd,
+    )
+    # shard rows [8:16) with a 2-row halo, as parallel.fused would
+    xl, bl = x[6:16], b[6:16]
+    loc = fused_rb_gibbs_sweep_2d(
+        xl, bl, None, coeffs, 1.0, 0, 0,
+        noise_mult=0.0, sweep="forward", tile2d=(2, 8),
+        interpret=True, with_noise=False, fd_params=fd,
+        row_offset=6, n0_global=16,
+    )
+    err = float(jnp.abs(full[8:16] - loc[2:]).max())
+    assert err < 1e-5, err

@@ -108,3 +108,35 @@ def test_galerkin_twice_levels():
     np.testing.assert_allclose(
         np.asarray(op2.to_dense()), np.asarray(Ac_ref), rtol=0, atol=1e-11
     )
+
+
+@pytest.mark.parametrize("shape", [(8, 8, 8), (8, 4, 6), (8, 8)])
+def test_aggregate_galerkin_closed_form(shape):
+    """The closed-form aggregate coarse operator (kappa2' = 2^d kappa2,
+    hinv2' = 2^(d-1) hinv2, link-count diag) must equal the comb-probed
+    exact Galerkin triple product P^T A P."""
+    from parmgmc_tpu.operators.stencil import (
+        coarse_shape,
+        compress_stencil,
+        detect_fd_params,
+        fd_stencil,
+        galerkin_coarse_operator,
+        shifted_laplace_fd,
+    )
+    from parmgmc_tpu.operators.transfer import AggregateTransfer
+
+    op = shifted_laplace_fd(shape, 1.7, dtype=jnp.float64)
+    fd = detect_fd_params(op)
+    assert fd is not None
+    d = len(shape)
+    probe = compress_stencil(
+        galerkin_coarse_operator(op, AggregateTransfer(fine_shape=shape))
+    )
+    closed = fd_stencil(
+        coarse_shape(shape),
+        (2**d) * float(fd[0]),
+        (2 ** (d - 1)) * float(fd[1]),
+        dtype=jnp.float64,
+    )
+    err = float(jnp.abs(probe.to_dense() - closed.to_dense()).max())
+    assert err < 1e-9, err
