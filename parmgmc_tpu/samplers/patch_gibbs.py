@@ -116,14 +116,26 @@ class PatchGibbsSampler:
 
         Single-trace colour loop: the grid is zero-padded so every
         colour's centre subgrid has the SAME static shape (ceil(N/m)
-        points per axis), the colour's per-axis residues are decoded
-        from the ``lax.fori_loop`` index, and all member gathers /
-        scatters are ``dynamic_slice`` regions with a reshape-stride
-        extraction.  One traced pass therefore serves all m^d colours —
-        the HLO is ~100 ops instead of ~30k for 125 unrolled 3D passes
-        (which stalled XLA) — and each pass touches only its
-        n/ncolors-point subgrid plus one full-grid residual, so a sweep
-        is O(k^2 n + nnz ncolors n) work with an O(1)-size program.
+        points per axis) and the colour's per-axis residues are decoded
+        from the ``lax.fori_loop`` index.  One traced pass serves all
+        m^d colours — the HLO is O(1)-size instead of ~30k ops for 125
+        unrolled 3D passes (which stalled XLA).
+
+        Launch-count discipline (measured ~0.7 ms of fixed overhead per
+        fused kernel on the attached chip, so dynamic-start ops are the
+        cost driver, NOT arithmetic): each pass performs exactly THREE
+        dynamic-start ops — one ``dynamic_slice`` of the chain state
+        super-region, one of a pre-stacked constants tensor (b, diag,
+        the k noise planes, every array-valued coefficient field), and
+        one ``dynamic_update_slice`` write-back.  Every member / stencil
+        access inside the pass is a STATIC strided view of those two
+        regions (the super-region carries ``rr = 1 + radius`` extra
+        rings so views exist for all member+stencil reach), and the
+        member-row residuals are computed from the views directly — no
+        full-grid ``A.apply`` per pass.  The earlier formulation did
+        ~4k+7 dynamic gathers/scatters per pass (~25 ms/pass of launch
+        overhead at 128^3, BENCH_NOTES).
+
         Phantom centres introduced by the shape-uniformising padding get
         all-zero member masks (identity systems, writes masked out).
         The patch systems are factored on the fly with an unrolled
@@ -140,33 +152,27 @@ class PatchGibbsSampler:
         coeff_map = dict(zip(base.offsets, base.coeffs))
 
         cnt = tuple(-(-n // m) for n in shape)  # ceil(N/m), uniform
-        L_reg = tuple((c - 1) * m + 1 for c in cnt)  # gather region size
+        L_reg = tuple((c - 1) * m + 1 for c in cnt)  # member-lattice span
+        rr = 1 + base.radius  # member (1) + stencil reach
+        L3 = tuple(l + 2 * rr for l in L_reg)  # super-region span
         # low pad m covers member+stencil offsets; high pad m + phantom rows
         pads = tuple((m, m + c * m - n) for c, n in zip(cnt, shape))
 
         def padg(arr):
             return jnp.pad(arr, pads)
 
-        dgp = padg(base.diag)
-        cf_arr = {
-            o: (padg(co) if getattr(co, "ndim", 0) else None)
-            for o, co in coeff_map.items()
-        }
-        etap = [padg(eta[j]) for j in range(k)]
-
-        def extract(arrp, starts):
-            """arrp[start_0::m, start_1::m, ...] with static shape cnt."""
-            reg = jax.lax.dynamic_slice(arrp, starts, L_reg)
-            reg = jnp.pad(reg, [(0, c * m - l) for c, l in zip(cnt, L_reg)])
-            view = reg.reshape(
-                tuple(q for c in cnt for q in (c, m))
-            )
-            return view[tuple(q for _ in cnt for q in (slice(None), 0))]
-
-        def member_starts(a, off):
-            return tuple(
-                a[ax] + (m + off[ax]) for ax in range(d)
-            )  # m = low pad
+        # -- constants stack: one dynamic_slice per pass serves them all
+        arr_rels = tuple(
+            o for o, co in coeff_map.items() if getattr(co, "ndim", 0)
+        )
+        chans = (
+            [padg(b), padg(base.diag)]
+            + [padg(eta[j]) for j in range(k)]
+            + [padg(coeff_map[o]) for o in arr_rels]
+        )
+        S = jnp.stack(chans)  # (nchan, *padded)
+        i_b, i_dg, i_eta, i_cf = 0, 1, 2, 2 + k
+        cf_chan = {o: i_cf + t for t, o in enumerate(arr_rels)}
 
         def pass_body(c, xp):
             # per-axis residues of colour c (matches _color_mask's code:
@@ -196,19 +202,57 @@ class PatchGibbsSampler:
             center = masks[0]
             masks = [mk * center for mk in masks]
 
-            # one full-grid residual; everything else on the subgrid
-            x_int = jax.lax.dynamic_slice(
-                xp, (m,) * d, shape
-            )  # interior (static start, but ds keeps one code path)
-            rp = padg(b - base.apply(x_int))
+            # -- the pass's three dynamic-start ops (1/3 and 2/3)
+            st = tuple(a[ax] + m - rr for ax in range(d))
+            Sx = jax.lax.dynamic_slice(xp, st, L3)
+            Sc = jax.lax.dynamic_slice(
+                S, (0,) + st, (S.shape[0],) + L3
+            )
 
-            rs, xs, dgs, ets = [], [], [], []
-            for j, o in enumerate(offsets):
-                st = member_starts(a, o)
-                rs.append(extract(rp, st))
-                xs.append(extract(xp, st))
-                dgs.append(extract(dgp, st))
-                ets.append(extract(etap[j], member_starts(a, (0,) * d)))
+            view_cache = {}
+
+            def view(chan, off):
+                """Static strided view: channel values at member-lattice
+                positions shifted by ``off`` (|off| <= rr).  chan None
+                means the x super-region."""
+                key = (chan, off)
+                if key in view_cache:
+                    return view_cache[key]
+                R = Sx if chan is None else Sc[chan]
+                sl = tuple(
+                    slice(rr + o, rr + o + l) for o, l in zip(off, L_reg)
+                )
+                reg = jnp.pad(
+                    R[sl],
+                    [(0, c0 * m - l) for c0, l in zip(cnt, L_reg)],
+                )
+                v = reg.reshape(tuple(q for c0 in cnt for q in (c0, m)))
+                v = v[tuple(q for _ in cnt for q in (slice(None), 0))]
+                view_cache[key] = v
+                return v
+
+            def cf(rel, at):
+                """Coefficient for offset ``rel`` at row position ``at``."""
+                co = coeff_map[rel]
+                if getattr(co, "ndim", 0):
+                    return view(cf_chan[rel], at)
+                return jnp.asarray(co, dtype)
+
+            zero = (0,) * d
+            xs = [view(None, o) for o in offsets]
+            dgs = [view(i_dg, o) for o in offsets]
+            ets = [view(i_eta + j, zero) for j in range(k)]
+
+            # member-row residuals (b - A x)_i from the views alone:
+            # out-of-grid x reads hit the zero padding, matching the
+            # operator's boundary truncation exactly
+            rs = []
+            for o in offsets:
+                acc = view(i_b, o) - view(i_dg, o) * view(None, o)
+                for rel in base.offsets:
+                    xo = tuple(q + w for q, w in zip(o, rel))
+                    acc = acc - cf(rel, o) * view(None, xo)
+                rs.append(acc)
 
             # A_SS entries, SoA: dummy members get identity rows
             def ass(j1, j2):
@@ -218,11 +262,7 @@ class PatchGibbsSampler:
                 rel = tuple(q - w for w, q in zip(o1, o2))
                 if rel not in coeff_map:
                     return None  # structural zero
-                if cf_arr[rel] is not None:
-                    cval = extract(cf_arr[rel], member_starts(a, o1))
-                else:
-                    cval = jnp.asarray(coeff_map[rel], dtype)
-                return cval * masks[j1] * masks[j2]
+                return cf(rel, o1) * masks[j1] * masks[j2]
 
             # rhs_i = mask_i (b - A x)_i + (A_SS x_S)_i
             rhs = []
@@ -263,25 +303,30 @@ class PatchGibbsSampler:
                     s = s - Lf[j][i] * y[j]
                 y[i] = s / Lf[i][i]
 
-            # scatter: read-modify-write each member's region (same-colour
-            # patches are >= m apart, so member positions never collide)
+            # scatter: update member positions inside the (already
+            # gathered) super-region with STATIC strided edits, then one
+            # dynamic_update_slice writes everything back (3/3).  The
+            # outer rr rings of the region are copied back unchanged;
+            # same-colour patches are >= m apart, so member positions
+            # never collide.
+            Ru = Sx
+            idx0 = tuple(q for _ in cnt for q in (slice(None), 0))
             for j, o in enumerate(offsets):
-                st = member_starts(a, o)
-                reg = jax.lax.dynamic_slice(xp, st, L_reg)
-                regp = jnp.pad(
-                    reg, [(0, c * m - l) for c, l in zip(cnt, L_reg)]
+                sl = tuple(
+                    slice(rr + oo, rr + oo + l) for oo, l in zip(o, L_reg)
                 )
-                view = regp.reshape(
-                    tuple(q for c in cnt for q in (c, m))
+                sub = jnp.pad(
+                    Ru[sl],
+                    [(0, c0 * m - l) for c0, l in zip(cnt, L_reg)],
                 )
-                idx = tuple(q for _ in cnt for q in (slice(None), 0))
-                new = jnp.where(masks[j] > 0.5, y[j], view[idx])
-                view = view.at[idx].set(new)
-                back = view.reshape(tuple(c * m for c in cnt))[
+                v = sub.reshape(tuple(q for c0 in cnt for q in (c0, m)))
+                new = jnp.where(masks[j] > 0.5, y[j], v[idx0])
+                v = v.at[idx0].set(new)
+                back = v.reshape(tuple(c0 * m for c0 in cnt))[
                     tuple(slice(0, l) for l in L_reg)
                 ]
-                xp = jax.lax.dynamic_update_slice(xp, back, st)
-            return xp
+                Ru = Ru.at[sl].set(back)
+            return jax.lax.dynamic_update_slice(xp, Ru, st)
 
         xp = jax.lax.fori_loop(0, m**d, pass_body, padg(x), unroll=False)
         return jax.lax.dynamic_slice(xp, (m,) * d, shape)
