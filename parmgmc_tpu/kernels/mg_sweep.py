@@ -42,14 +42,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from parmgmc_tpu.kernels.rb_gibbs import (
+    _JB as _JB2,
     _auto_tile,
     _compiler_params,
     _eta_pair,
+    _eta_pair_blk,
     _mix,
     _shift_plane,
 )
 
-__all__ = ["fused_zero_gibbs_restrict_fd", "fused_chain_down_fd"]
+__all__ = [
+    "fused_zero_gibbs_restrict_fd",
+    "fused_chain_down_fd",
+    "fused_chain_down_2d",
+]
 
 _TWO_PI = 6.283185307179586
 
@@ -561,6 +567,24 @@ def fused_chain_down_fd(
     ``rc = rq.reshape(n0/2, n1/2, n2/2, 2).sum(-1)``.
     """
     N0, N1, N2 = x.shape
+    from parmgmc_tpu.kernels.rb_gibbs import _PLANE_LIMIT
+
+    if N1 * N2 > _PLANE_LIMIT:
+        # whole-plane windows exceed VMEM: 2D-tiled variant
+        return fused_chain_down_2d(
+            x,
+            b,
+            coeffs,
+            kappa2,
+            hinv2,
+            omega,
+            seed,
+            step,
+            noise_mult=noise_mult,
+            sweep=sweep,
+            interpret=interpret,
+            with_noise=with_noise,
+        )
     # VMEM planes: scratch 4T+15 + x/b/xpy blocks 6T + rq blocks T/2 +
     # whole-window value temporaries (ax3/upd3/ay3/r2/shifts ~ 6 windows)
     T = _auto_tile(N0, N1 * N2 * 4, 17, 28, tile)
@@ -629,6 +653,253 @@ def fused_chain_down_fd(
             pltpu.VMEM((3, N1, N2), jnp.float32),  # tail_x
             pltpu.VMEM((2, N1, N2), jnp.float32),  # tail_b
         ],
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(fscal, iscal, x, b)
+
+
+# ---------------------------------------------------------------------------
+# v3: 2D-tiled CHAIN down-phase for planes past the whole-plane VMEM
+# window (768^2+ — see kernels.rb_gibbs v3 for the tiling scheme).
+#
+# Same semantics as _kernel_chain, window-style instead of pipelined:
+# each (i0, i1) program DMAs halo-extended x and b windows
+# ((T0+8, T1+16, N2) — the chain phase chain r = b-Ax -> y -> r-Ay
+# consumes three rings, rounded up to 4 / _JB for noise alignment),
+# recomputes r, builds r~ with (row-pair, j-block)-keyed noise, runs the
+# from-zero sweep in place, and emits xpy = x + y plus the aggregate-
+# restricted residual.  Halo recompute is bit-identical across tiles, so
+# the result equals the 1D chain kernel's up to f32 rounding.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_chain_2d(
+    fscal_ref,  # SMEM (10,) f32: omega, c0lo..c2hi, noise_mult, kappa2, hinv2
+    iscal_ref,  # SMEM (3,) i32: seed, color0, step
+    x_hbm,  # ANY (N0, N1, N2)
+    b_hbm,  # ANY
+    xpy_ref,  # VMEM (T0, T1, N2) out block
+    rq_ref,  # VMEM (T0//2, T1//2, N2) out block
+    xw,  # scratch (W0, W1, N2): x window
+    bw,  # scratch (W0, W1, N2): b window, then r2 = r - A y
+    rt,  # scratch (W0, W1, N2): r~ window, swept IN PLACE to y
+    sem,  # DMA semaphores (2,)
+    *,
+    T0: int,
+    T1: int,
+    shape: tuple,
+    with_noise: bool,
+):
+    N0, N1, N2 = shape
+    H0 = 4
+    W0 = T0 + 2 * H0
+    W1 = min(T1 + 2 * _JB2, N1)
+    i0 = pl.program_id(0)
+    i1 = pl.program_id(1)
+    s0 = pl.multiple_of(jnp.clip(i0 * T0 - H0, 0, N0 - W0), 2)
+    s1 = pl.multiple_of(jnp.clip(i1 * T1 - _JB2, 0, N1 - W1), _JB2)
+
+    cp_x = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(s0, W0), pl.ds(s1, W1)], xw, sem.at[0]
+    )
+    cp_b = pltpu.make_async_copy(
+        b_hbm.at[pl.ds(s0, W0), pl.ds(s1, W1)], bw, sem.at[1]
+    )
+    cp_x.start()
+    cp_b.start()
+    cp_x.wait()
+    cp_b.wait()
+
+    omega = fscal_ref[0]
+    noise_mult = fscal_ref[7]
+    kappa2 = fscal_ref[8]
+    hinv2 = fscal_ref[9]
+    seed = iscal_ref[0]
+    color0 = iscal_ref[1]
+    step = iscal_ref[2]
+    su = seed.astype(jnp.uint32)
+    stepu = step.astype(jnp.uint32)
+    nscale = jnp.sqrt((2.0 - omega) / omega) * noise_mult
+
+    c0lo, c0hi = fscal_ref[1], fscal_ref[2]
+    c1lo, c1hi = fscal_ref[3], fscal_ref[4]
+    c2lo, c2hi = fscal_ref[5], fscal_ref[6]
+
+    # ---- global geometry over the window --------------------------------
+    ll3 = jax.lax.broadcasted_iota(jnp.int32, (W0, W1, N2), 0)
+    jj3 = jax.lax.broadcasted_iota(jnp.int32, (W0, W1, N2), 1)
+    kk3 = jax.lax.broadcasted_iota(jnp.int32, (W0, W1, N2), 2)
+    par3 = (ll3 + jj3 + kk3) % 2  # s0, s1 even
+    g3 = s0 + ll3
+    jg3 = s1 + jj3
+    up3 = (g3 >= 1).astype(jnp.float32)
+    dn3 = (g3 <= N0 - 2).astype(jnp.float32)
+    diag3 = kappa2 + hinv2 * (
+        up3
+        + dn3
+        + (jg3 >= 1).astype(jnp.float32)
+        + (jg3 <= N1 - 2).astype(jnp.float32)
+        + (kk3 >= 1).astype(jnp.float32)
+        + (kk3 <= N2 - 2).astype(jnp.float32)
+    )
+    winv3 = omega / diag3
+
+    def neigh_sum(v3):
+        return (
+            c0lo * up3 * _shift_plane(v3, 0, -1, W0)
+            + c0hi * dn3 * _shift_plane(v3, 0, 1, W0)
+            + c1lo * _shift_plane(v3, 1, -1, W1)
+            + c1hi * _shift_plane(v3, 1, 1, W1)
+            + c2lo * _shift_plane(v3, 2, -1, N2)
+            + c2hi * _shift_plane(v3, 2, 1, N2)
+        )
+
+    # ---- r = b - A x (valid one ring in from the window edge) ------------
+    xv = xw[:]
+    ax3 = diag3 * xv + neigh_sum(xv)
+    rt[:] = bw[:] - ax3
+
+    # ---- r~ = r + noise, (row-pair, j-block) keyed -----------------------
+    if with_noise:
+        nq = W1 // _JB2
+        kkb = jax.lax.broadcasted_iota(jnp.int32, (_JB2, N2), 1)
+        lanes_ip = (kkb >= 1).astype(jnp.float32) + (kkb <= N2 - 2).astype(
+            jnp.float32
+        )
+        jlb = jax.lax.broadcasted_iota(jnp.int32, (_JB2, N2), 0)
+
+        def noise_blk(t, _):
+            c = t // nq
+            q = t - c * nq
+            l = 2 * c
+            off = q * _JB2
+            g = s0 + l
+            jb = s1 // _JB2 + q
+            ee, eo = _eta_pair_blk(su, stepu, g, jb, N2)
+            jg = jlb + (s1 + off)
+            links_ip = (
+                lanes_ip
+                + (jg >= 1).astype(jnp.float32)
+                + (jg <= N1 - 2).astype(jnp.float32)
+            )
+
+            def dslab(gr):
+                ok = (gr >= 1).astype(jnp.float32) + (gr <= N0 - 2).astype(
+                    jnp.float32
+                )
+                return kappa2 + hinv2 * (links_ip + ok)
+
+            rt[l, pl.ds(off, _JB2)] = rt[l, pl.ds(off, _JB2)] + (
+                nscale * jnp.sqrt(dslab(g)) * ee
+            )
+            rt[l + 1, pl.ds(off, _JB2)] = rt[l + 1, pl.ds(off, _JB2)] + (
+                nscale * jnp.sqrt(dslab(g + 1)) * eo
+            )
+            return 0
+
+        jax.lax.fori_loop(0, (W0 // 2) * nq, noise_blk, 0, unroll=False)
+
+    # ---- from-zero sweep IN PLACE (colour-0 cells become y, colour-1
+    # cells still hold r~ until phase 1 — neighbour reads always land on
+    # the opposite colour) -------------------------------------------------
+    r0 = rt[:]
+    rt[:] = jnp.where(par3 == color0, winv3 * r0, r0)
+    y0 = rt[:]
+    upd3 = winv3 * (y0 - neigh_sum(y0))
+    rt[:] = jnp.where(par3 == (1 - color0), upd3, y0)
+
+    # ---- outputs ---------------------------------------------------------
+    base0 = pl.multiple_of(i0 * T0 - s0, 2)
+    base1 = pl.multiple_of(i1 * T1 - s1, _JB2)
+    yf = rt[:]
+    xpy_ref[:] = (
+        xw[pl.ds(base0, T0), pl.ds(base1, T1)]
+        + rt[pl.ds(base0, T0), pl.ds(base1, T1)]
+    )
+
+    # r2 = (b - A x) - A y, written back into bw so the tile slice is a
+    # ref read (Mosaic has no dynamic_slice on values)
+    ay3 = diag3 * yf + neigh_sum(yf)
+    bw[:] = (bw[:] - ax3) - ay3
+    r2t = bw[pl.ds(base0, T0), pl.ds(base1, T1)]
+    for c in range(T0 // 2):  # static unroll
+        rp = r2t[2 * c] + r2t[2 * c + 1]
+        rq_ref[c] = rp.reshape(T1 // 2, 2, N2).sum(1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sweep", "tile2d", "interpret", "with_noise")
+)
+def fused_chain_down_2d(
+    x,
+    b,
+    coeffs,  # (6,) f32
+    kappa2,
+    hinv2,
+    omega,
+    seed,
+    step,
+    noise_mult=1.0,
+    sweep: str = "forward",
+    tile2d: "tuple | None" = None,
+    interpret: bool = False,
+    with_noise: bool = True,
+):
+    """(xpy, rq): 2D-tiled fused chain-level MGMC down-phase — the
+    large-plane counterpart of :func:`fused_chain_down_fd` (same outputs,
+    ``rc = rq.reshape(n0/2, n1/2, n2/2, 2).sum(-1)``)."""
+    from parmgmc_tpu.kernels.rb_gibbs import _tile2d_auto
+
+    N0, N1, N2 = x.shape
+    if N0 % 2 or N1 % 2 or N2 % 2:
+        raise ValueError("restriction needs even dims")
+    H0 = 4
+    T0, T1 = _tile2d_auto(N0, N1, N2, streams=4, requested=tile2d, h0=2 * H0)
+    W0, W1 = T0 + 2 * H0, min(T1 + 2 * _JB2, N1)
+    if N0 % T0 or T0 % 2 or N0 < W0:
+        raise ValueError(f"bad axis-0 tile {T0} for {N0}")
+    if N1 % T1 or T1 % _JB2 or W1 % _JB2:
+        raise ValueError(f"bad axis-1 tile {T1} for {N1}")
+    color0 = 0 if sweep == "forward" else 1
+
+    fscal = jnp.concatenate(
+        [
+            jnp.asarray([omega], jnp.float32),
+            jnp.asarray(coeffs, jnp.float32).reshape(6),
+            jnp.asarray([noise_mult, kappa2, hinv2], jnp.float32),
+        ]
+    )
+    iscal = jnp.asarray([seed, color0, step], jnp.int32)
+
+    kern = functools.partial(
+        _kernel_chain_2d,
+        T0=T0,
+        T1=T1,
+        shape=(N0, N1, N2),
+        with_noise=with_noise,
+    )
+    win = pltpu.VMEM((W0, W1, N2), jnp.float32)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        kern,
+        grid=(N0 // T0, N1 // T1),
+        in_specs=[smem, smem, any_spec, any_spec],
+        out_specs=[
+            pl.BlockSpec(
+                (T0, T1, N2), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (T0 // 2, T1 // 2, N2),
+                lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32),
+            jax.ShapeDtypeStruct((N0 // 2, N1 // 2, N2), jnp.float32),
+        ],
+        scratch_shapes=[win, win, win, pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(fscal, iscal, x, b)

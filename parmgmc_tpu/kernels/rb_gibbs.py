@@ -807,7 +807,7 @@ def _kernel_2d(
     o_ref[:] = xw[pl.ds(base0, T0), pl.ds(base1, T1)]
 
 
-def _tile2d_auto(N0, N1, N2, streams, requested=None):
+def _tile2d_auto(N0, N1, N2, streams, requested=None, h0=4):
     """(T0, T1) for the 2D-tiled kernel.  Tall tiles amortise the fixed
     (4, 2*_JB) halos: measured at 768^3 on the chip, (4,256) sweeps in
     61 ms, (16,128) in 44 ms, (24,128) in 41.7 ms; (16,256) fails to
@@ -821,7 +821,7 @@ def _tile2d_auto(N0, N1, N2, streams, requested=None):
     vol_cap = 2_400_000
     budget = VMEM_LIMIT
     for T0 in (16, 8, 4, 2):
-        if N0 % T0 or N0 < T0 + 4:
+        if N0 % T0 or N0 < T0 + h0:
             continue
         for T1 in range(N1, _JB - 1, -_JB):
             if N1 % T1:
@@ -829,7 +829,7 @@ def _tile2d_auto(N0, N1, N2, streams, requested=None):
             W1 = min(T1 + 2 * _JB, N1)
             if W1 % _JB:
                 continue
-            vol = (T0 + 4) * W1 * N2
+            vol = (T0 + h0) * W1 * N2
             if vol <= vol_cap and (streams + 6) * vol * 4 <= budget:
                 return T0, T1
     raise ValueError(

@@ -258,12 +258,16 @@ class MGMCSampler:
         if not isinstance(self.transfers[l], AggregateTransfer):
             return False
         gshape = self.ops[l].grid_shape
-        # the down kernels (kernels.mg_sweep) hold whole (N1, N2) planes
-        # in VMEM and have no 2D-tiled variant: beyond this plane size
-        # the smoother still sweeps fused (2D-tiled kernel) but the
-        # down-phase composition runs the lax path
         if gshape[1] * gshape[2] > 448 * 1024:
-            return False
+            # beyond the whole-plane VMEM window only the CHAIN kernel
+            # has a 2D-tiled variant (fused_chain_down_2d) — it needs
+            # N0 % 4 (step() routes l==0 through it only then),
+            # N1 % 8 and a feasible tile.  Deeper levels' planes shrink
+            # 4x per level, so they re-enter the 1D kernels immediately.
+            from parmgmc_tpu.kernels.rb_gibbs import fused_sweep_supported
+
+            if l != 0 or gshape[0] % 4 or not fused_sweep_supported(gshape):
+                return False
         return all(d % 2 == 0 for d in gshape)
 
     def _fused_down(self, l: int, bl, key):

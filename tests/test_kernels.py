@@ -178,3 +178,36 @@ def test_fused_2d_sweep_sharded_offsets():
     )
     err = float(jnp.abs(full[8:16] - loc[2:]).max())
     assert err < 1e-5, err
+
+
+@pytest.mark.parametrize("sweep", ["forward", "backward"])
+@pytest.mark.parametrize("tile2d", [(4, 8), (8, 16)])
+def test_fused_chain_down_2d_matches_lax(sweep, tile2d):
+    """kernels.mg_sweep._kernel_chain_2d: the 2D-tiled chain down-phase
+    must reproduce residual + from-zero sweep + state add + restriction
+    exactly (deterministic path)."""
+    from parmgmc_tpu.kernels.mg_sweep import fused_chain_down_2d
+    from parmgmc_tpu.operators.transfer import AggregateTransfer
+
+    shape = (16, 32, 128)
+    op = shifted_laplace_fd(shape, 1.7, dtype=jnp.float32)
+    key = jax.random.PRNGKey(13)
+    x = jax.random.normal(key, shape, jnp.float32)
+    b = jax.random.normal(jax.random.fold_in(key, 1), shape, jnp.float32)
+    coeffs = jnp.asarray([float(c) for c in op.coeffs], jnp.float32)
+    hinv2 = -float(op.coeffs[0])
+    xpy, rq = fused_chain_down_2d(
+        x, b, coeffs, 1.7**2, hinv2, 1.0, 0, 0,
+        sweep=sweep, tile2d=tile2d, interpret=True, with_noise=False,
+    )
+    rc = rq.reshape(
+        shape[0] // 2, shape[1] // 2, shape[2] // 2, 2
+    ).sum(-1)
+    r_ref = b - op.apply(x)
+    y_ref = sor_sweep(op, r_ref, jnp.zeros_like(b), 1.0, sweep)
+    tr = AggregateTransfer(fine_shape=shape)
+    rc_ref = tr.restrict(r_ref - op.apply(y_ref))
+    exy = float(jnp.abs(xpy - (x + y_ref)).max() / jnp.abs(x + y_ref).max())
+    erc = float(jnp.abs(rc - rc_ref).max() / jnp.abs(rc_ref).max())
+    assert exy < 1e-5, exy
+    assert erc < 1e-4, erc
