@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from parmgmc_tpu.operators.lrc import LRCOperator
 from parmgmc_tpu.samplers.gibbs import _op_sweep
 
-__all__ = ["sor_preconditioner", "richardson_solve", "cg_solve"]
+__all__ = ["sor_preconditioner", "richardson_solve", "cg_solve", "gmres_solve"]
 
 
 def _base_of(op):
@@ -69,5 +69,24 @@ def cg_solve(op, b, tol: float = 1e-10, maxiter: int = 1000, omega: float = 1.0)
     M = sor_preconditioner(op, omega=omega, sweep="symmetric")
     x, _ = jax.scipy.sparse.linalg.cg(
         op.apply, b, tol=tol, maxiter=maxiter, M=M
+    )
+    return x
+
+
+def gmres_solve(
+    op,
+    b,
+    tol: float = 1e-10,
+    maxiter: int = 1000,
+    restart: int = 30,
+    omega: float = 1.0,
+    sweep: str = "forward",
+):
+    """Preconditioned GMRES with a (possibly nonsymmetric) sweep as M^{-1}
+    — the FGMRES half of ex3 (``/root/reference/examples/ex3.c:59-67``).
+    Unlike CG this admits the forward/backward sweeps, not just SSOR."""
+    M = sor_preconditioner(op, omega=omega, sweep=sweep)
+    x, _ = jax.scipy.sparse.linalg.gmres(
+        op.apply, b, tol=tol, maxiter=maxiter, restart=restart, M=M
     )
     return x

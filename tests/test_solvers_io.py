@@ -90,3 +90,18 @@ def test_vtk_writers(tmp_path):
     write_vtk_unstructured(fm, pts, cells, {"u": np.random.rand(len(pts))})
     txt = open(fm).read()
     assert "UNSTRUCTURED_GRID" in txt and f"POINTS {len(pts)}" in txt
+
+
+def test_gmres_solver_mode():
+    """ex3's FGMRES mode: GMRES with the (nonsymmetric) forward sweep as
+    preconditioner must solve to tight residual."""
+    import numpy as np
+
+    from parmgmc_tpu.operators.stencil import shifted_laplace_fd
+    from parmgmc_tpu.solvers import gmres_solve
+
+    op = shifted_laplace_fd((9, 9), 2.0, dtype=jnp.float64)
+    b = jnp.ones(op.grid_shape, jnp.float64)
+    x = gmres_solve(op, b, tol=1e-12, sweep="forward")
+    r = float(jnp.linalg.norm(b - op.apply(x)) / jnp.linalg.norm(b))
+    assert r < 1e-8, r
