@@ -694,21 +694,50 @@ def _kernel_chain_2d(
     H0 = 4
     W0 = T0 + 2 * H0
     W1 = min(T1 + 2 * _JB2, N1)
+    G1 = N1 // T1
+    total = (N0 // T0) * G1
     i0 = pl.program_id(0)
     i1 = pl.program_id(1)
-    s0 = pl.multiple_of(jnp.clip(i0 * T0 - H0, 0, N0 - W0), 2)
-    s1 = pl.multiple_of(jnp.clip(i1 * T1 - _JB2, 0, N1 - W1), _JB2)
+    t = i0 * G1 + i1
+    slot = t % 2
 
-    cp_x = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(s0, W0), pl.ds(s1, W1)], xw, sem.at[0]
-    )
-    cp_b = pltpu.make_async_copy(
-        b_hbm.at[pl.ds(s0, W0), pl.ds(s1, W1)], bw, sem.at[1]
-    )
-    cp_x.start()
-    cp_b.start()
-    cp_x.wait()
-    cp_b.wait()
+    def tile_start(tt):
+        i0t = tt // G1
+        i1t = tt - i0t * G1
+        s0t = pl.multiple_of(jnp.clip(i0t * T0 - H0, 0, N0 - W0), 2)
+        s1t = pl.multiple_of(jnp.clip(i1t * T1 - _JB2, 0, N1 - W1), _JB2)
+        return s0t, s1t
+
+    def copies(tt, sl):
+        s0t, s1t = tile_start(tt)
+        return [
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(s0t, W0), pl.ds(s1t, W1)],
+                xw.at[sl],
+                sem.at[0, sl],
+            ),
+            pltpu.make_async_copy(
+                b_hbm.at[pl.ds(s0t, W0), pl.ds(s1t, W1)],
+                bw.at[sl],
+                sem.at[1, sl],
+            ),
+        ]
+
+    # Double-buffered windows (see kernels.rb_gibbs._kernel_2d): tile
+    # t+1's DMA overlaps tile t's compute.
+    @pl.when(t == 0)
+    def _first():
+        for c in copies(0, 0):
+            c.start()
+
+    @pl.when(t + 1 < total)
+    def _prefetch():
+        for c in copies(t + 1, 1 - slot):
+            c.start()
+
+    for c in copies(t, slot):
+        c.wait()
+    s0, s1 = tile_start(t)
 
     omega = fscal_ref[0]
     noise_mult = fscal_ref[7]
@@ -755,9 +784,9 @@ def _kernel_chain_2d(
         )
 
     # ---- r = b - A x (valid one ring in from the window edge) ------------
-    xv = xw[:]
+    xv = xw[slot]
     ax3 = diag3 * xv + neigh_sum(xv)
-    rt[:] = bw[:] - ax3
+    rt[:] = bw[slot] - ax3
 
     # ---- r~ = r + noise, (row-pair, j-block) keyed -----------------------
     if with_noise:
@@ -813,15 +842,15 @@ def _kernel_chain_2d(
     base1 = pl.multiple_of(i1 * T1 - s1, _JB2)
     yf = rt[:]
     xpy_ref[:] = (
-        xw[pl.ds(base0, T0), pl.ds(base1, T1)]
+        xw[slot, pl.ds(base0, T0), pl.ds(base1, T1)]
         + rt[pl.ds(base0, T0), pl.ds(base1, T1)]
     )
 
     # r2 = (b - A x) - A y, written back into bw so the tile slice is a
     # ref read (Mosaic has no dynamic_slice on values)
     ay3 = diag3 * yf + neigh_sum(yf)
-    bw[:] = (bw[:] - ax3) - ay3
-    r2t = bw[pl.ds(base0, T0), pl.ds(base1, T1)]
+    bw[slot] = (bw[slot] - ax3) - ay3
+    r2t = bw[slot, pl.ds(base0, T0), pl.ds(base1, T1)]
     for c in range(T0 // 2):  # static unroll
         rp = r2t[2 * c] + r2t[2 * c + 1]
         rq_ref[c] = rp.reshape(T1 // 2, 2, N2).sum(1)
@@ -854,7 +883,8 @@ def fused_chain_down_2d(
     if N0 % 2 or N1 % 2 or N2 % 2:
         raise ValueError("restriction needs even dims")
     H0 = 4
-    T0, T1 = _tile2d_auto(N0, N1, N2, streams=4, requested=tile2d, h0=2 * H0)
+    # x/b windows are double-buffered (2 slots each) + the rt window
+    T0, T1 = _tile2d_auto(N0, N1, N2, streams=5, requested=tile2d, h0=2 * H0)
     W0, W1 = T0 + 2 * H0, min(T1 + 2 * _JB2, N1)
     if N0 % T0 or T0 % 2 or N0 < W0:
         raise ValueError(f"bad axis-0 tile {T0} for {N0}")
@@ -878,6 +908,7 @@ def fused_chain_down_2d(
         shape=(N0, N1, N2),
         with_noise=with_noise,
     )
+    win2 = pltpu.VMEM((2, W0, W1, N2), jnp.float32)
     win = pltpu.VMEM((W0, W1, N2), jnp.float32)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -899,7 +930,7 @@ def fused_chain_down_2d(
             jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32),
             jax.ShapeDtypeStruct((N0 // 2, N1 // 2, N2), jnp.float32),
         ],
-        scratch_shapes=[win, win, win, pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=[win2, win2, win, pltpu.SemaphoreType.DMA((2, 2))],
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(fscal, iscal, x, b)

@@ -672,32 +672,63 @@ def _kernel_2d(
         x_hbm, b_hbm, d_hbm, o_ref, xw, bt, dw, sem = refs
     W0 = T0 + 4
     W1 = min(T1 + 2 * _JB, N1)
+    G1 = N1 // T1
+    total = (N0 // T0) * G1
     i0 = pl.program_id(0)
     i1 = pl.program_id(1)
+    t = i0 * G1 + i1
+    slot = t % 2
+
     # s0 is even (T0 and the clip endpoint are even); s1 is a multiple of
     # _JB (T1 % _JB == 0 and N1 - W1 % _JB == 0), so noise pairs and
     # noise blocks stay globally aligned in every window.
-    s0 = pl.multiple_of(jnp.clip(i0 * T0 - 2, 0, N0 - W0), 2)
-    s1 = pl.multiple_of(jnp.clip(i1 * T1 - _JB, 0, N1 - W1), _JB)
+    def tile_start(tt):
+        i0t = tt // G1
+        i1t = tt - i0t * G1
+        s0t = pl.multiple_of(jnp.clip(i0t * T0 - 2, 0, N0 - W0), 2)
+        s1t = pl.multiple_of(jnp.clip(i1t * T1 - _JB, 0, N1 - W1), _JB)
+        return s0t, s1t
 
-    cps = [
-        pltpu.make_async_copy(
-            x_hbm.at[pl.ds(s0, W0), pl.ds(s1, W1)], xw, sem.at[0]
-        ),
-        pltpu.make_async_copy(
-            b_hbm.at[pl.ds(s0, W0), pl.ds(s1, W1)], bt, sem.at[1]
-        ),
-    ]
-    if not fd:
-        cps.append(
+    def copies(tt, sl):
+        s0t, s1t = tile_start(tt)
+        cps = [
             pltpu.make_async_copy(
-                d_hbm.at[pl.ds(s0, W0), pl.ds(s1, W1)], dw, sem.at[2]
+                x_hbm.at[pl.ds(s0t, W0), pl.ds(s1t, W1)],
+                xw.at[sl],
+                sem.at[0, sl],
+            ),
+            pltpu.make_async_copy(
+                b_hbm.at[pl.ds(s0t, W0), pl.ds(s1t, W1)],
+                bt.at[sl],
+                sem.at[1, sl],
+            ),
+        ]
+        if not fd:
+            cps.append(
+                pltpu.make_async_copy(
+                    d_hbm.at[pl.ds(s0t, W0), pl.ds(s1t, W1)],
+                    dw.at[sl],
+                    sem.at[2, sl],
+                )
             )
-        )
-    for c in cps:
-        c.start()
-    for c in cps:
+        return cps
+
+    # Double-buffered windows: tile t+1's DMA is in flight while tile t
+    # computes (the sync-copy version lost ~25% of the 768^3 sweep to
+    # serialized window loads).
+    @pl.when(t == 0)
+    def _first():
+        for c in copies(0, 0):
+            c.start()
+
+    @pl.when(t + 1 < total)
+    def _prefetch():
+        for c in copies(t + 1, 1 - slot):
+            c.start()
+
+    for c in copies(t, slot):
         c.wait()
+    s0, s1 = tile_start(t)
 
     omega = fscal_ref[0]
     noise_mult = fscal_ref[7]
@@ -744,14 +775,14 @@ def _kernel_2d(
 
                 de, do = dslab(g), dslab(g + 1)
             else:
-                de = dw[l, pl.ds(off, _JB)]
-                do = dw[l + 1, pl.ds(off, _JB)]
-            bt[l, pl.ds(off, _JB)] = bt[l, pl.ds(off, _JB)] + (
+                de = dw[slot, l, pl.ds(off, _JB)]
+                do = dw[slot, l + 1, pl.ds(off, _JB)]
+            bt[slot, l, pl.ds(off, _JB)] = bt[slot, l, pl.ds(off, _JB)] + (
                 nscale * jnp.sqrt(de) * ee
             )
-            bt[l + 1, pl.ds(off, _JB)] = bt[l + 1, pl.ds(off, _JB)] + (
-                nscale * jnp.sqrt(do) * eo
-            )
+            bt[slot, l + 1, pl.ds(off, _JB)] = bt[
+                slot, l + 1, pl.ds(off, _JB)
+            ] + (nscale * jnp.sqrt(do) * eo)
             return 0
 
         jax.lax.fori_loop(0, (W0 // 2) * nq, noise_blk, 0, unroll=False)
@@ -777,7 +808,7 @@ def _kernel_2d(
         )
         diag3 = kappa2 + hinv2 * links3
     else:
-        diag3 = dw[:]
+        diag3 = dw[slot]
 
     c0lo, c0hi = fscal_ref[1], fscal_ref[2]
     c1lo, c1hi = fscal_ref[3], fscal_ref[4]
@@ -787,7 +818,7 @@ def _kernel_2d(
     # boundaries (always window edges), and harmless elsewhere because
     # only halo rows (discarded) see the window edge.
     def phase(color):
-        xv = xw[:]
+        xv = xw[slot]
         sumn3 = (
             c0lo * up_ok3 * _shift_plane(xv, 0, -1, W0)
             + c0hi * dn_ok3 * _shift_plane(xv, 0, 1, W0)
@@ -796,15 +827,15 @@ def _kernel_2d(
             + c2lo * _shift_plane(xv, 2, -1, N2)
             + c2hi * _shift_plane(xv, 2, 1, N2)
         )
-        upd3 = (1.0 - omega) * xv + (omega / diag3) * (bt[:] - sumn3)
-        xw[:] = jnp.where(par3 == color, upd3, xv)
+        upd3 = (1.0 - omega) * xv + (omega / diag3) * (bt[slot] - sumn3)
+        xw[slot] = jnp.where(par3 == color, upd3, xv)
 
     phase(color0)
     phase(1 - color0)
 
     base0 = pl.multiple_of(i0 * T0 - s0, 2)
     base1 = pl.multiple_of(i1 * T1 - s1, _JB)
-    o_ref[:] = xw[pl.ds(base0, T0), pl.ds(base1, T1)]
+    o_ref[:] = xw[slot, pl.ds(base0, T0), pl.ds(base1, T1)]
 
 
 def _tile2d_auto(N0, N1, N2, streams, requested=None, h0=4):
@@ -871,7 +902,8 @@ def fused_rb_gibbs_sweep_2d(
         n0_global = N0
     fd = fd_params is not None
     streams = 2 if fd else 3
-    T0, T1 = _tile2d_auto(N0, N1, N2, streams, tile2d)
+    # double-buffered windows: each stream holds 2 slots
+    T0, T1 = _tile2d_auto(N0, N1, N2, 2 * streams, tile2d)
     W0, W1 = T0 + 4, min(T1 + 2 * _JB, N1)
     if N0 % T0 or T0 % 2 or N0 < W0:
         raise ValueError(f"bad axis-0 tile {T0} for {N0}")
@@ -909,16 +941,16 @@ def fused_rb_gibbs_sweep_2d(
         fd=fd,
         n0_global=n0_global,
     )
-    win = pltpu.VMEM((W0, W1, N2), jnp.float32)
+    win = pltpu.VMEM((2, W0, W1, N2), jnp.float32)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     if fd:
         in_specs = [smem, smem, any_spec, any_spec]
-        scratch = [win, win, pltpu.SemaphoreType.DMA((2,))]
+        scratch = [win, win, pltpu.SemaphoreType.DMA((2, 2))]
         operands = (fscal, iscal, x, b)
     else:
         in_specs = [smem, smem, any_spec, any_spec, any_spec]
-        scratch = [win, win, win, pltpu.SemaphoreType.DMA((3,))]
+        scratch = [win, win, win, pltpu.SemaphoreType.DMA((3, 2))]
         operands = (fscal, iscal, x, b, diag)
     return pl.pallas_call(
         kern,
