@@ -165,8 +165,62 @@ def selftest():
     print("selftest OK: fused stochastic path matches lax chain")
 
 
+def selftest2d():
+    """TPU-gated regression of the 2D-TILED stochastic kernel paths.
+
+    Same moment comparison as :func:`selftest`, on a grid whose planes
+    exceed the whole-plane VMEM window (768^2), so the chain step runs
+    fused_chain_down_2d at level 0 and the 2D sweep's block-keyed noise
+    stream.  Run ``python bench.py --selftest2d`` on a TPU."""
+    from parmgmc_tpu.chain import ChainState, sample_moments
+    from parmgmc_tpu.operators.stencil import shifted_laplace_fd
+    from parmgmc_tpu.samplers.mgmc import MGMCSampler
+
+    # (32, 768, 768): 768^2 planes engage the 2D kernels; the extra rows
+    # let the hierarchy coarsen to a (2, 48, 48) = 4.6K-DOF dense
+    # coarsest (an (N0/2)^2-DOF dense factor at N0=16 is 1.3 GB — OOM)
+    op = shifted_laplace_fd((32, 768, 768), 1.0, dtype=jnp.float32)
+    b = jnp.full(op.grid_shape, 50.0, jnp.float32)
+    n = 4_000
+
+    def moments(impl):
+        smp = MGMCSampler.create(
+            op, n_pre=1, n_post=0, coarsest_size=128,
+            coarsening="aggregate", impl=impl,
+        )
+        run = jax.jit(
+            lambda smp, st, bb: sample_moments(smp, st, bb, n, burnin=100)
+        )
+        st = ChainState(
+            x=jnp.zeros(op.grid_shape, jnp.float32), key=jax.random.PRNGKey(3)
+        )
+        _, mean, var = run(smp, st, b)
+        return np.asarray(mean), np.asarray(var), smp
+
+    mean_f, var_f, smp_f = moments("fused_fd")
+    assert smp_f._down_fused_eligible(0), "2D chain kernel not engaged"
+    mean_l, var_l, _ = moments("lax")
+    se = np.sqrt((var_f + var_l) / n)
+    z = np.abs(mean_f - mean_l) / np.maximum(se, 1e-12)
+    rvar = np.abs(var_f - var_l) / np.maximum(var_l, 1e-12)
+    print(f"max |mean_fused - mean_lax| / SE = {z.max():.2f} (gate 14)")
+    print(f"mean |z| = {z.mean():.2f} (gate 2.5)")
+    print(f"max relative var gap = {rvar.max():.3f} (gate 0.3)")
+    # max-|z| gate scales with field size: expected max over 18.9M
+    # points is sqrt(2 ln N) ~ 5.8 x the measured ~1.75 autocorrelation
+    # inflation of the naive SE ~ 10 (measured 10.8); a broken
+    # _mix/Box-Muller fails by orders of magnitude, not 30%.
+    assert z.max() < 14.0, "2D fused mean drifted from lax chain"
+    assert z.mean() < 2.5, "2D fused mean field biased vs lax chain"
+    # shorter chain than selftest(): var estimate noise ~ sqrt(2 tau / n)
+    assert rvar.max() < 0.3, "2D fused variance drifted from lax chain"
+    print("selftest2d OK: 2D-tiled stochastic path matches lax chain")
+
+
 if __name__ == "__main__":
     if "--selftest" in sys.argv:
         selftest()
+    elif "--selftest2d" in sys.argv:
+        selftest2d()
     else:
         main()

@@ -934,3 +934,16 @@ def fused_chain_down_2d(
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(fscal, iscal, x, b)
+
+
+def chain_down_2d_supported(shape) -> bool:
+    """Can :func:`fused_chain_down_2d` serve this grid?  (Stricter than
+    the sweep probe: the chain window carries a 4-row axis-0 halo each
+    side, so N0 >= T0 + 8.)"""
+    try:
+        from parmgmc_tpu.kernels.rb_gibbs import _tile2d_auto
+
+        _tile2d_auto(shape[0], shape[1], shape[2], streams=5, h0=8)
+        return True
+    except ValueError:
+        return False

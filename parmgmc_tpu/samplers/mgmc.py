@@ -262,11 +262,11 @@ class MGMCSampler:
             # beyond the whole-plane VMEM window only the CHAIN kernel
             # has a 2D-tiled variant (fused_chain_down_2d) — it needs
             # N0 % 4 (step() routes l==0 through it only then),
-            # N1 % 8 and a feasible tile.  Deeper levels' planes shrink
-            # 4x per level, so they re-enter the 1D kernels immediately.
-            from parmgmc_tpu.kernels.rb_gibbs import fused_sweep_supported
+            # N1 % 8 and a feasible (T0+8)-halo tile.  Deeper levels'
+            # planes shrink 4x per level and re-enter the 1D kernels.
+            from parmgmc_tpu.kernels.mg_sweep import chain_down_2d_supported
 
-            if l != 0 or gshape[0] % 4 or not fused_sweep_supported(gshape):
+            if l != 0 or gshape[0] % 4 or not chain_down_2d_supported(gshape):
                 return False
         return all(d % 2 == 0 for d in gshape)
 
