@@ -976,7 +976,9 @@ def fused_sweep_supported(shape) -> bool:
     if N1 % _JB:
         return False
     try:
-        _tile2d_auto(N0, N1, N2, streams=3)
+        # worst case: diag-streamed mode with double-buffered windows
+        # holds 2*3 stream slots (must match the wrappers' 2*streams)
+        _tile2d_auto(N0, N1, N2, streams=6)
         return True
     except ValueError:
         return False

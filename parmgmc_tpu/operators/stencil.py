@@ -170,8 +170,13 @@ def shifted_laplace_fd(
 def detect_fd_params(op: "StencilOperator") -> "jax.Array | None":
     """(kappa2, hinv2) f32 stack if diag == kappa2 + hinv2 * #in-grid
     links and all off-diagonals equal -hinv2 (the link-count FD pattern,
-    i.e. exactly what :func:`fd_stencil` builds); else None."""
+    i.e. exactly what :func:`fd_stencil` builds); else None.  Requires
+    SCALAR coefficients — array-valued (even if uniform) coefficient
+    fields return None so callers fall back to general machinery rather
+    than receiving grid-shaped "scalars"."""
     c0 = op.coeffs[0]
+    if any(getattr(c, "ndim", 0) != 0 for c in op.coeffs):
+        return None
     if not all(bool(jnp.allclose(c, c0)) for c in op.coeffs[1:]):
         return None
     hinv2 = -c0

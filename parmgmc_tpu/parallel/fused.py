@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from parmgmc_tpu.kernels.rb_gibbs import _PLANE_LIMIT
 from parmgmc_tpu.operators.transfer import AggregateTransfer
 from parmgmc_tpu.samplers.gibbs import _draw
 from parmgmc_tpu.samplers.mgmc import MGMCSampler
@@ -217,8 +218,9 @@ def _level_shardable(sampler, l, n_dev, min_local):
         and n2 % 2 == 0
         and n2 % 128 == 0
         # the sharded down kernel (kernels.mg_sweep) holds whole
-        # (n1, n2) planes in VMEM; no 2D-tiled down variant yet
-        and n1 * n2 <= 448 * 1024
+        # (n1, n2) planes in VMEM; no 2D-tiled down variant under
+        # shard_map yet
+        and n1 * n2 <= _PLANE_LIMIT
     )
 
 

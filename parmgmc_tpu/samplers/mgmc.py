@@ -257,8 +257,10 @@ class MGMCSampler:
             return False
         if not isinstance(self.transfers[l], AggregateTransfer):
             return False
+        from parmgmc_tpu.kernels.rb_gibbs import _PLANE_LIMIT
+
         gshape = self.ops[l].grid_shape
-        if gshape[1] * gshape[2] > 448 * 1024:
+        if gshape[1] * gshape[2] > _PLANE_LIMIT:
             # beyond the whole-plane VMEM window only the CHAIN kernel
             # has a 2D-tiled variant (fused_chain_down_2d) — it needs
             # N0 % 4 (step() routes l==0 through it only then),

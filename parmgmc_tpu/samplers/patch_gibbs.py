@@ -123,18 +123,18 @@ class PatchGibbsSampler:
 
         Launch-count discipline (measured ~0.7 ms of fixed overhead per
         fused kernel on the attached chip, so dynamic-start ops are the
-        cost driver, NOT arithmetic): each pass performs exactly THREE
-        dynamic-start ops — one ``dynamic_slice`` of the chain state
-        super-region, one of a pre-stacked constants tensor (b, diag,
-        the k noise planes, every array-valued coefficient field), and
-        one ``dynamic_update_slice`` write-back.  Every member / stencil
-        access inside the pass is a STATIC strided view of those two
-        regions (the super-region carries ``rr = 1 + radius`` extra
-        rings so views exist for all member+stencil reach), and the
-        member-row residuals are computed from the views directly — no
-        full-grid ``A.apply`` per pass.  The earlier formulation did
-        ~4k+7 dynamic gathers/scatters per pass (~25 ms/pass of launch
-        overhead at 128^3, BENCH_NOTES).
+        cost driver, NOT arithmetic): each pass performs one
+        ``dynamic_slice`` of the chain-state super-region, one per
+        constants channel actually touched (b, diag, the k noise
+        planes, each array-valued coefficient field — a single stacked
+        5D slice measured 3x SLOWER than per-channel 3D slices), and
+        one ``dynamic_update_slice`` write-back: ~a dozen dynamic-start
+        ops for a 3D star patch.  Every member / stencil access inside
+        the pass is a STATIC strided view of those regions (the
+        super-region carries ``rr = 1 + radius`` extra rings so views
+        exist for all member+stencil reach), and the residual is a
+        region-local apply over the super-region — no full-grid
+        ``A.apply`` per pass.
 
         Phantom centres introduced by the shape-uniformising padding get
         all-zero member masks (identity systems, writes masked out).
