@@ -377,7 +377,7 @@ def fused_zero_gibbs_restrict_fd(
 
 def _kernel_chain(
     fscal_ref,  # SMEM (10,) f32: omega, c0lo..c2hi, noise_mult, kappa2, hinv2
-    iscal_ref,  # SMEM (3,) i32: seed, color0, step
+    iscal_ref,  # SMEM (4,) i32: seed, color0, step, row_off
     x_ref,  # VMEM (T, N1, N2) block min(i, G-1) of the chain state x
     b_ref,  # VMEM (T, N1, N2) block min(i, G-1) of the chain RHS b
     xpy_ref,  # VMEM (T, N1, N2) out block max(i-1, 0): x + y0
@@ -392,8 +392,13 @@ def _kernel_chain(
     T: int,
     shape: tuple,
     with_noise: bool,
+    n0_global: int,
 ):
+    # Global-row masking/keying (gg = g + row_off vs n0_global) lets a
+    # shard_map caller run the chain down-phase on halo-extended local
+    # blocks — see parallel.fused.
     N0, N1, N2 = shape
+    N0G = n0_global
     G = N0 // T
     W = T + 4
     i = pl.program_id(0)
@@ -407,6 +412,7 @@ def _kernel_chain(
     seed = iscal_ref[0]
     color0 = iscal_ref[1]
     step = iscal_ref[2]
+    row_off = iscal_ref[3]
     su = seed.astype(jnp.uint32)
     stepu = step.astype(jnp.uint32)
     nscale = jnp.sqrt((2.0 - omega) / omega) * noise_mult
@@ -426,8 +432,9 @@ def _kernel_chain(
     c2lo, c2hi = fscal_ref[5], fscal_ref[6]
 
     def diag_row(g):
-        up_ok = (g >= 1).astype(jnp.float32)
-        dn_ok = (g <= N0 - 2).astype(jnp.float32)
+        gg = g + row_off
+        up_ok = (gg >= 1).astype(jnp.float32)
+        dn_ok = (gg <= N0G - 2).astype(jnp.float32)
         return kappa2 + hinv2 * (links_inplane + up_ok + dn_ok)
 
     # ---- whole-window helpers (rows within a red/black phase are
@@ -435,12 +442,13 @@ def _kernel_chain(
     # single vector ops over the window — see _kernel above) -----------
     def geom(w, off):
         """(par3, diag3, up_ok3, dn_ok3) for a w-row window whose row 0
-        is global row jT + off (off even, so parity is j-independent)."""
+        is global row jT + off + row_off (off and row_off even, so
+        parity is j-independent)."""
         ll3 = jax.lax.broadcasted_iota(jnp.int32, (w, N1, N2), 0)
-        g3 = (jT + off) + ll3
+        g3 = (jT + off + row_off) + ll3
         par3 = (ll3 + plane_par[None]) % 2
         up_ok3 = (g3 >= 1).astype(jnp.float32)
-        dn_ok3 = (g3 <= N0 - 2).astype(jnp.float32)
+        dn_ok3 = (g3 <= N0G - 2).astype(jnp.float32)
         diag3 = kappa2 + hinv2 * (links_inplane[None] + up_ok3 + dn_ok3)
         return par3, diag3, up_ok3, dn_ok3
 
@@ -486,7 +494,7 @@ def _kernel_chain(
             def noise_pair(c, _):
                 l = 2 * c
                 g = jT + (l - 2)
-                ee, eo = _eta_pair(su, stepu, g, N1, N2)
+                ee, eo = _eta_pair(su, stepu, g + row_off, N1, N2)
                 bt[l] = bt[l] + nscale * jnp.sqrt(diag_row(g)) * ee
                 bt[l + 1] = (
                     bt[l + 1] + nscale * jnp.sqrt(diag_row(g + 1)) * eo
@@ -542,7 +550,8 @@ def _kernel_chain(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sweep", "tile", "interpret", "with_noise")
+    jax.jit,
+    static_argnames=("sweep", "tile", "interpret", "with_noise", "n0_global"),
 )
 def fused_chain_down_fd(
     x,
@@ -558,6 +567,8 @@ def fused_chain_down_fd(
     tile: "int | None" = None,
     interpret: bool = False,
     with_noise: bool = True,
+    row_offset=0,  # global row of array row 0 (traced; shard_map use)
+    n0_global: "int | None" = None,  # global grid extent for masks
 ):
     """(xpy, rq): fused chain-level MGMC down-phase.
 
@@ -567,6 +578,8 @@ def fused_chain_down_fd(
     ``rc = rq.reshape(n0/2, n1/2, n2/2, 2).sum(-1)``.
     """
     N0, N1, N2 = x.shape
+    if n0_global is None:
+        n0_global = N0
     from parmgmc_tpu.kernels.rb_gibbs import _PLANE_LIMIT
 
     if N1 * N2 > _PLANE_LIMIT:
@@ -584,6 +597,8 @@ def fused_chain_down_fd(
             sweep=sweep,
             interpret=interpret,
             with_noise=with_noise,
+            row_offset=row_offset,
+            n0_global=n0_global,
         )
     # VMEM planes: scratch 4T+15 + x/b/xpy blocks 6T + rq blocks T/2 +
     # whole-window value temporaries (ax3/upd3/ay3/r2/shifts ~ 6 windows)
@@ -607,10 +622,21 @@ def fused_chain_down_fd(
             jnp.asarray([noise_mult, kappa2, hinv2], jnp.float32),
         ]
     )
-    iscal = jnp.asarray([seed, color0, step], jnp.int32)
+    iscal = jnp.stack(
+        [
+            jnp.asarray(seed, jnp.int32),
+            jnp.asarray(color0, jnp.int32),
+            jnp.asarray(step, jnp.int32),
+            jnp.asarray(row_offset, jnp.int32),
+        ]
+    )
 
     kern = functools.partial(
-        _kernel_chain, T=T, shape=(N0, N1, N2), with_noise=with_noise
+        _kernel_chain,
+        T=T,
+        shape=(N0, N1, N2),
+        with_noise=with_noise,
+        n0_global=n0_global,
     )
     return pl.pallas_call(
         kern,
@@ -675,22 +701,24 @@ def fused_chain_down_fd(
 
 def _kernel_chain_2d(
     fscal_ref,  # SMEM (10,) f32: omega, c0lo..c2hi, noise_mult, kappa2, hinv2
-    iscal_ref,  # SMEM (3,) i32: seed, color0, step
+    iscal_ref,  # SMEM (4,) i32: seed, color0, step, row_off
     x_hbm,  # ANY (N0, N1, N2)
     b_hbm,  # ANY
     xpy_ref,  # VMEM (T0, T1, N2) out block
     rq_ref,  # VMEM (T0//2, T1//2, N2) out block
-    xw,  # scratch (W0, W1, N2): x window
-    bw,  # scratch (W0, W1, N2): b window, then r2 = r - A y
+    xw,  # scratch (2, W0, W1, N2): x window slots
+    bw,  # scratch (2, W0, W1, N2): b window slots, then r2 = r - A y
     rt,  # scratch (W0, W1, N2): r~ window, swept IN PLACE to y
-    sem,  # DMA semaphores (2,)
+    sem,  # DMA semaphores (2, 2)
     *,
     T0: int,
     T1: int,
     shape: tuple,
     with_noise: bool,
+    n0_global: int,
 ):
     N0, N1, N2 = shape
+    N0G = n0_global
     H0 = 4
     W0 = T0 + 2 * H0
     W1 = min(T1 + 2 * _JB2, N1)
@@ -746,6 +774,7 @@ def _kernel_chain_2d(
     seed = iscal_ref[0]
     color0 = iscal_ref[1]
     step = iscal_ref[2]
+    row_off = iscal_ref[3]
     su = seed.astype(jnp.uint32)
     stepu = step.astype(jnp.uint32)
     nscale = jnp.sqrt((2.0 - omega) / omega) * noise_mult
@@ -754,15 +783,17 @@ def _kernel_chain_2d(
     c1lo, c1hi = fscal_ref[3], fscal_ref[4]
     c2lo, c2hi = fscal_ref[5], fscal_ref[6]
 
-    # ---- global geometry over the window --------------------------------
+    # ---- global geometry over the window (rows masked/keyed by GLOBAL
+    # row g3 = s0 + row_off + ll against n0_global; shard_map callers
+    # pass halo-extended local blocks with even row_off) ------------------
     ll3 = jax.lax.broadcasted_iota(jnp.int32, (W0, W1, N2), 0)
     jj3 = jax.lax.broadcasted_iota(jnp.int32, (W0, W1, N2), 1)
     kk3 = jax.lax.broadcasted_iota(jnp.int32, (W0, W1, N2), 2)
-    par3 = (ll3 + jj3 + kk3) % 2  # s0, s1 even
-    g3 = s0 + ll3
+    par3 = (ll3 + jj3 + kk3) % 2  # s0 + row_off, s1 even
+    g3 = (s0 + row_off) + ll3
     jg3 = s1 + jj3
     up3 = (g3 >= 1).astype(jnp.float32)
-    dn3 = (g3 <= N0 - 2).astype(jnp.float32)
+    dn3 = (g3 <= N0G - 2).astype(jnp.float32)
     diag3 = kappa2 + hinv2 * (
         up3
         + dn3
@@ -802,7 +833,7 @@ def _kernel_chain_2d(
             q = t - c * nq
             l = 2 * c
             off = q * _JB2
-            g = s0 + l
+            g = s0 + row_off + l
             jb = s1 // _JB2 + q
             ee, eo = _eta_pair_blk(su, stepu, g, jb, N2)
             jg = jlb + (s1 + off)
@@ -813,7 +844,7 @@ def _kernel_chain_2d(
             )
 
             def dslab(gr):
-                ok = (gr >= 1).astype(jnp.float32) + (gr <= N0 - 2).astype(
+                ok = (gr >= 1).astype(jnp.float32) + (gr <= N0G - 2).astype(
                     jnp.float32
                 )
                 return kappa2 + hinv2 * (links_ip + ok)
@@ -857,7 +888,8 @@ def _kernel_chain_2d(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sweep", "tile2d", "interpret", "with_noise")
+    jax.jit,
+    static_argnames=("sweep", "tile2d", "interpret", "with_noise", "n0_global"),
 )
 def fused_chain_down_2d(
     x,
@@ -873,6 +905,8 @@ def fused_chain_down_2d(
     tile2d: "tuple | None" = None,
     interpret: bool = False,
     with_noise: bool = True,
+    row_offset=0,  # global row of array row 0 (traced; shard_map use)
+    n0_global: "int | None" = None,
 ):
     """(xpy, rq): 2D-tiled fused chain-level MGMC down-phase — the
     large-plane counterpart of :func:`fused_chain_down_fd` (same outputs,
@@ -880,6 +914,8 @@ def fused_chain_down_2d(
     from parmgmc_tpu.kernels.rb_gibbs import _tile2d_auto
 
     N0, N1, N2 = x.shape
+    if n0_global is None:
+        n0_global = N0
     if N0 % 2 or N1 % 2 or N2 % 2:
         raise ValueError("restriction needs even dims")
     H0 = 4
@@ -899,7 +935,14 @@ def fused_chain_down_2d(
             jnp.asarray([noise_mult, kappa2, hinv2], jnp.float32),
         ]
     )
-    iscal = jnp.asarray([seed, color0, step], jnp.int32)
+    iscal = jnp.stack(
+        [
+            jnp.asarray(seed, jnp.int32),
+            jnp.asarray(color0, jnp.int32),
+            jnp.asarray(step, jnp.int32),
+            jnp.asarray(row_offset, jnp.int32),
+        ]
+    )
 
     kern = functools.partial(
         _kernel_chain_2d,
@@ -907,6 +950,7 @@ def fused_chain_down_2d(
         T1=T1,
         shape=(N0, N1, N2),
         with_noise=with_noise,
+        n0_global=n0_global,
     )
     win2 = pltpu.VMEM((2, W0, W1, N2), jnp.float32)
     win = pltpu.VMEM((W0, W1, N2), jnp.float32)

@@ -163,6 +163,58 @@ def _sharded_zero_down(
     return y[2:-2], rc_loc
 
 
+def _sharded_chain_down(
+    x_loc,
+    b_loc,
+    coeffs,
+    kappa2,
+    hinv2,
+    omega,
+    seed,
+    step,
+    axis_name,
+    n0_global,
+    sweep,
+    interpret,
+    with_noise,
+):
+    """(xpy_loc, rc_loc): fused CHAIN down-phase on the local block —
+    residual + noise + from-zero pre-smooth + state add + restriction in
+    one launch, like the single-chip path.  The r -> y -> r - A y chain
+    consumes three rings, so a 4-plane halo of x and b (even, keeping
+    noise pairs and the restriction 2x2x2 blocks globally aligned)
+    feeds the kernel; the halo rows' outputs are discarded."""
+    from parmgmc_tpu.kernels.mg_sweep import fused_chain_down_fd
+
+    dev = jax.lax.axis_index(axis_name)
+    n_loc = x_loc.shape[0]
+    x_ext = _extend(x_loc, axis_name, 4)
+    b_ext = _extend(b_loc, axis_name, 4)
+    row0 = dev * n_loc - 4
+    xpy, rq = fused_chain_down_fd(
+        x_ext,
+        b_ext,
+        coeffs,
+        kappa2,
+        hinv2,
+        omega,
+        seed,
+        step,
+        sweep=sweep,
+        interpret=interpret,
+        with_noise=with_noise,
+        row_offset=row0,
+        n0_global=n0_global,
+    )
+    n1, n2 = x_loc.shape[1], x_loc.shape[2]
+    rc_loc = (
+        rq[2:-2]  # drop the four halo rows' coarse images
+        .reshape(n_loc // 2, n1 // 2, n2 // 2, 2)
+        .sum(-1)
+    )
+    return xpy[4:-4], rc_loc
+
+
 def _local_fd_apply(x_loc, lo1, hi1, coeffs, kappa2, hinv2, row0, n0_global):
     """(A x)|local rows for the FD star operator, given 1-plane halos.
 
@@ -205,6 +257,8 @@ def _local_fd_apply(x_loc, lo1, hi1, coeffs, kappa2, hinv2, row0, n0_global):
 
 
 def _level_shardable(sampler, l, n_dev, min_local):
+    from parmgmc_tpu.kernels.mg_sweep import chain_down_2d_supported
+
     op = sampler.ops[l]
     s = sampler.smoothers[l]
     n0, n1, n2 = op.grid_shape
@@ -217,10 +271,17 @@ def _level_shardable(sampler, l, n_dev, min_local):
         and n1 % 2 == 0
         and n2 % 2 == 0
         and n2 % 128 == 0
-        # the sharded down kernel (kernels.mg_sweep) holds whole
-        # (n1, n2) planes in VMEM; no 2D-tiled down variant under
-        # shard_map yet
-        and n1 * n2 <= _PLANE_LIMIT
+        # levels >= 1 run the whole-plane zero-down kernel; level 0 runs
+        # the chain kernel, whose 2D-tiled variant admits bigger planes
+        # (the local block it sees carries a 4-plane halo each side)
+        and (
+            n1 * n2 <= _PLANE_LIMIT
+            if l > 0
+            else (
+                n1 * n2 <= _PLANE_LIMIT
+                or chain_down_2d_supported((n0 // n_dev + 8, n1, n2))
+            )
+        )
     )
 
 
@@ -313,26 +374,29 @@ def make_sharded_mgmc_step(
     def _body(seeds, noises, x_loc, b_loc):
         dev = jax.lax.axis_index(axis_name)
         p0 = lvl[0]
-        n_loc0 = p0["local_shape"][0]
-        row0 = dev * n_loc0
 
-        # fine residual r = b - A x (1-plane halo exchange, FD form)
-        lo1, hi1 = _exchange_planes(x_loc, axis_name, 1)
-        r = b_loc - _local_fd_apply(
+        # level 0: the CHAIN kernel fuses residual + noise + pre-smooth
+        # + state add + restriction (single-chip parity — the separate
+        # lax residual program and final three-array add are gone)
+        xpy, bl = _sharded_chain_down(
             x_loc,
-            lo1,
-            hi1,
+            b_loc,
             p0["coeffs"],
             p0["kappa2"],
             p0["hinv2"],
-            row0,
+            p0["omega"],
+            seeds[0, 0],
+            seeds[0, 1],
+            axis_name,
             p0["n0_global"],
+            p0["sweep"],
+            interpret,
+            with_noise,
         )
 
-        # down the sharded levels
+        # down the remaining sharded levels (from-zero kernel)
         ys = []
-        bl = r
-        for l in range(n_sh):
+        for l in range(1, n_sh):
             p = lvl[l]
             y, bl = _sharded_zero_down(
                 bl,
@@ -358,11 +422,13 @@ def make_sharded_mgmc_step(
         z = jax.lax.dynamic_slice_in_dim(z, dev * rows, rows, axis=0)
 
         # up: piecewise-constant prolongation is shard-local
-        for l in reversed(range(n_sh)):
-            z = ys[l] + AggregateTransfer(
+        for l in reversed(range(1, n_sh)):
+            z = ys[l - 1] + AggregateTransfer(
                 fine_shape=lvl[l]["local_shape"]
             ).prolong(z)
-        return x_loc + z
+        return xpy + AggregateTransfer(
+            fine_shape=lvl[0]["local_shape"]
+        ).prolong(z)
 
     body_sh = jax.shard_map(
         _body,
