@@ -211,3 +211,56 @@ def test_fused_chain_down_2d_matches_lax(sweep, tile2d):
     erc = float(jnp.abs(rc - rc_ref).max() / jnp.abs(rc_ref).max())
     assert exy < 1e-5, exy
     assert erc < 1e-4, erc
+
+
+@pytest.mark.parametrize("shape", [(10, 24, 128), (12, 40, 128), (8, 48, 256)])
+def test_fused_2d_sweep_odd_shapes(shape):
+    """2D-tiled sweep across awkward tilings (non-power-of-2 N0, small
+    N1, auto tiles): deterministic parity with the lax sweep."""
+    from parmgmc_tpu.kernels.rb_gibbs import fused_rb_gibbs_sweep_2d
+
+    op = shifted_laplace_fd(shape, 1.3, dtype=jnp.float32)
+    key = jax.random.PRNGKey(sum(shape))
+    x = jax.random.normal(key, shape, jnp.float32)
+    b = jax.random.normal(jax.random.fold_in(key, 1), shape, jnp.float32)
+    coeffs = jnp.asarray([float(c) for c in op.coeffs], jnp.float32)
+    hinv2 = -float(op.coeffs[0])
+    for sweep in ("forward", "backward"):
+        ref = sor_sweep(op, b, x, 1.1, sweep)
+        out = fused_rb_gibbs_sweep_2d(
+            x, b, None, coeffs, 1.1, 0, 0,
+            noise_mult=0.0, sweep=sweep, interpret=True, with_noise=False,
+            fd_params=jnp.asarray([1.3**2, hinv2], jnp.float32),
+        )
+        err = float(jnp.abs(ref - out).max() / jnp.abs(ref).max())
+        assert err < 1e-5, (shape, sweep, err)
+
+
+def test_fused_chain_down_sharded_offsets():
+    """The chain kernels' global-row keying: the 1D chain kernel applied
+    to a 4-plane halo-extended local block must reproduce the interior
+    of the full-grid chain down-phase (the parallel.fused usage)."""
+    from parmgmc_tpu.kernels.mg_sweep import fused_chain_down_fd
+
+    shape = (32, 16, 128)
+    op = shifted_laplace_fd(shape, 1.7, dtype=jnp.float32)
+    key = jax.random.PRNGKey(21)
+    x = jax.random.normal(key, shape, jnp.float32)
+    b = jax.random.normal(jax.random.fold_in(key, 1), shape, jnp.float32)
+    coeffs = jnp.asarray([float(c) for c in op.coeffs], jnp.float32)
+    hinv2 = -float(op.coeffs[0])
+    xpy_full, rq_full = fused_chain_down_fd(
+        x, b, coeffs, 1.7**2, hinv2, 1.0, 0, 0,
+        sweep="forward", interpret=True, with_noise=False,
+    )
+    # shard rows [16:32) with a 4-plane halo, as _sharded_chain_down does
+    xl, bl = x[12:32], b[12:32]
+    xpy_l, rq_l = fused_chain_down_fd(
+        xl, bl, coeffs, 1.7**2, hinv2, 1.0, 0, 0,
+        sweep="forward", interpret=True, with_noise=False,
+        row_offset=12, n0_global=32,
+    )
+    exy = float(jnp.abs(xpy_full[16:32] - xpy_l[4:]).max())
+    erq = float(jnp.abs(rq_full[8:16] - rq_l[2:]).max())
+    assert exy < 1e-5, exy
+    assert erq < 1e-4, erq
