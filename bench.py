@@ -27,7 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 
 N = int(os.environ.get("BENCH_N", "256"))
-N_TIME = int(os.environ.get("BENCH_STEPS", "64"))
+# 512 timing steps: the reference benchmark times thousands of samples
+# (benchmarkrc: 10000); short runs absorb ~0.5 ms/step of fixed
+# per-invocation overhead through the remote-TPU tunnel (measured:
+# dt = 2.26 ms over 64 steps vs 1.68 ms over 1536 at 256^3).
+N_TIME = int(os.environ.get("BENCH_STEPS", "512"))
 N_IACT = int(os.environ.get("BENCH_IACT_STEPS", "2048"))
 DTYPE = jnp.float32
 
