@@ -44,10 +44,13 @@ __all__ = [
 _TWO_PI = 6.283185307179586
 
 # The default Mosaic scoped-vmem limit is 16 MiB, but the attached v5e
-# accepts >= 100 MiB of kernel VMEM (measured by bisection; see
-# CLAUDE.md).  All sweep kernels request this budget so whole-plane
-# sliding windows keep working up to 512^2 planes (~1 MiB/plane).
-VMEM_LIMIT = 110 * 1024 * 1024
+# accepts >= 124 MiB of kernel VMEM (measured: the (16,128)-tiled chain
+# kernel's 116.4 MiB scoped allocation compiles and runs under this
+# limit, 2026-08-17; earlier bisection proved >= 100 MiB).  All sweep
+# kernels request this budget so whole-plane sliding windows keep
+# working up to 512^2 planes and the 2D-tiled kernels can take the
+# tall windows that minimise halo amplification.
+VMEM_LIMIT = 124 * 1024 * 1024
 
 
 def _compiler_params():
@@ -839,20 +842,33 @@ def _kernel_2d(
 
 
 def _tile2d_auto(N0, N1, N2, streams, requested=None, h0=4):
-    """(T0, T1) for the 2D-tiled kernel.  Tall tiles amortise the fixed
-    (4, 2*_JB) halos: measured at 768^3 on the chip, (4,256) sweeps in
-    61 ms, (16,128) in 44 ms, (24,128) in 41.7 ms; (16,256) fails to
-    compile (VMEM).  Prefer the tallest T0 <= 16 (compile time roughly
-    doubles by T0=24 for ~5% more speed), then the widest in-budget T1.
-    Caps are measured: (16,128) windows (2.21M points) compile in 42 s,
-    but (16,192) (3.19M) never finishes — Mosaic compile time explodes
-    somewhere between, so the cap sits just above the proven point."""
+    """(T0, T1) for the 2D-tiled kernels: the feasible tile with the
+    least halo amplification (window/tile point ratio), tie-broken
+    toward bigger tiles (fewer windows, better DMA amortisation).
+    Windows are pure recompute overhead — both DMA bytes and VPU phase
+    work scale with the window, so amplification is the right objective
+    (measured at 768^3: chain (8,128) 60.1 ms -> (16,128) 49.5 ms,
+    sweep (16,128) 36.8 ms -> (24,128) 33.1 ms).
+
+    Caps are MEASURED on the attached v5e (2026-08-17):
+    * window rows W0 <= 28 — (24,128) sweep windows (W0=28) compile in
+      ~3 min; whole-window vector ops on much taller windows never
+      finish Mosaic compile (CLAUDE.md), so W0 sits at the proven point;
+    * window volume <= 2.4M points generally ((16,128) windows, 2.21M,
+      compile in ~40 s), relaxed to 3.2M when W1 <= 144 — (24,128)
+      sweep windows (3.10M, W1=144) compile, while (16,192) windows
+      (3.19M, W1=208) never finish: WIDE windows are what blow up
+      Mosaic compile time, not tall ones;
+    * VMEM: (streams + 6) * window bytes <= VMEM_LIMIT — the +6 margin
+      for phase temporaries matches the compiler's scoped-vmem
+      accounting to ~0.2% (chain (16,128): predicted 116.6 MB,
+      compiler reported 116.40 MB)."""
     if requested is not None:
         return requested
-    vol_cap = 2_400_000
     budget = VMEM_LIMIT
-    for T0 in (16, 8, 4, 2):
-        if N0 % T0 or N0 < T0 + h0:
+    best = None
+    for T0 in (24, 16, 8, 4, 2):
+        if N0 % T0 or N0 < T0 + h0 or T0 + h0 > 28:
             continue
         for T1 in range(N1, _JB - 1, -_JB):
             if N1 % T1:
@@ -861,12 +877,19 @@ def _tile2d_auto(N0, N1, N2, streams, requested=None, h0=4):
             if W1 % _JB:
                 continue
             vol = (T0 + h0) * W1 * N2
-            if vol <= vol_cap and (streams + 6) * vol * 4 <= budget:
-                return T0, T1
-    raise ValueError(
-        f"no feasible 2D tile for grid ({N0}, {N1}, {N2}) "
-        f"(needs N1 % {_JB} == 0 and an in-budget window)"
-    )
+            if vol > (3_200_000 if W1 <= 144 else 2_400_000):
+                continue
+            if (streams + 6) * vol * 4 > budget:
+                continue
+            key = (vol / (T0 * T1 * N2), -T0 * T1)
+            if best is None or key < best[0]:
+                best = (key, (T0, T1))
+    if best is None:
+        raise ValueError(
+            f"no feasible 2D tile for grid ({N0}, {N1}, {N2}) "
+            f"(needs N1 % {_JB} == 0 and an in-budget window)"
+        )
+    return best[1]
 
 
 @functools.partial(
