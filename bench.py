@@ -47,7 +47,11 @@ BASELINE_ESS_PER_SEC = 70.0 * (256 / N) ** 3
 
 
 def main():
-    from parmgmc_tpu.chain import ChainState, sample_chain
+    from parmgmc_tpu.chain import (
+        ChainState,
+        sample_chain,
+        sample_chain_deferred,
+    )
     from parmgmc_tpu.models.problems import gmrf_3d
     from parmgmc_tpu.samplers.mgmc import MGMCSampler
 
@@ -63,12 +67,22 @@ def main():
 
     # Pass sampler + b as jit ARGUMENTS: closing over them would embed the
     # operator hierarchy (hundreds of MB at 256^3) as program constants.
-    run_time = jax.jit(
-        lambda smp, s, bb: sample_chain(smp, s, bb, N_TIME, extract=qoi)
-    )
-    run_iact = jax.jit(
-        lambda smp, s, bb: sample_chain(smp, s, bb, N_IACT, extract=qoi)
-    )
+    # The deferred-prolong chain (bit-identical samples, same mean QOI,
+    # ~1.6 fewer fine-grid HBM passes/step) drives the whole-plane sizes.
+    if sampler.deferred_eligible():
+        run_time = jax.jit(
+            lambda smp, s, bb: sample_chain_deferred(smp, s, bb, N_TIME)
+        )
+        run_iact = jax.jit(
+            lambda smp, s, bb: sample_chain_deferred(smp, s, bb, N_IACT)
+        )
+    else:
+        run_time = jax.jit(
+            lambda smp, s, bb: sample_chain(smp, s, bb, N_TIME, extract=qoi)
+        )
+        run_iact = jax.jit(
+            lambda smp, s, bb: sample_chain(smp, s, bb, N_IACT, extract=qoi)
+        )
 
     st = ChainState(
         x=jnp.zeros(op.grid_shape, DTYPE), key=jax.random.PRNGKey(0)
@@ -166,6 +180,26 @@ def selftest():
     assert z.max() < 10.0, "fused-kernel mean drifted from lax chain"
     assert z.mean() < 2.5, "fused-kernel mean field biased vs lax chain"
     assert rvar.max() < 0.2, "fused-kernel variance drifted from lax chain"
+
+    # Deferred-prolong chain: must produce the bit-identical sample
+    # sequence under the same key (the kernel performs the same adds in
+    # the same order as the materialising path).
+    from parmgmc_tpu.chain import sample_chain, sample_chain_deferred
+
+    assert smp_f.deferred_eligible()
+    st = ChainState(
+        x=jnp.zeros(op.grid_shape, jnp.float32), key=jax.random.PRNGKey(5)
+    )
+    sta, _ = jax.jit(
+        lambda s, t, bb: sample_chain(s, t, bb, 8, extract=jnp.mean)
+    )(smp_f, st, b)
+    stb, _ = jax.jit(lambda s, t, bb: sample_chain_deferred(s, t, bb, 8))(
+        smp_f, st, b
+    )
+    assert (np.asarray(sta.x) == np.asarray(stb.x)).all(), (
+        "deferred-prolong chain diverged bitwise from the standard chain"
+    )
+    print("deferred chain: bit-identical to the standard chain (8 steps)")
     print("selftest OK: fused stochastic path matches lax chain")
 
 

@@ -23,6 +23,7 @@ __all__ = [
     "ChainState",
     "init_chain",
     "sample_chain",
+    "sample_chain_deferred",
     "sample_moments",
     "multi_chain",
 ]
@@ -89,6 +90,39 @@ def sample_chain(
         step_fn, (state, out0), jnp.arange(burnin + n_samples)
     )
     return state, out
+
+
+def sample_chain_deferred(
+    sampler,
+    state: ChainState,
+    b: jax.Array,
+    n_samples: int,
+):
+    """(state, qoi_means): mean-QOI chain on a LAZY sampler state.
+
+    Drives samplers exposing ``step_deferred`` / ``materialize_deferred``
+    (MGMCSampler with the fused chain kernel): the fine-level prolong-add
+    is deferred into the next step's kernel and the recorded QOI — the
+    global mean of each sample, the benchmark/IACT observable — comes
+    from the kernel's row sums, so no step ever re-reads the fine grid.
+    Produces the bit-identical sample sequence to ``sample_chain`` with
+    ``extract=jnp.mean`` (same keys, same add order), minus ~1.6
+    fine-grid HBM passes per step.  The returned state is materialised.
+    """
+    import math
+
+    aux_z = jnp.zeros(sampler.ops[1].grid_shape, state.x.dtype)
+    npts = math.prod(sampler.grid_shape)
+
+    def step_fn(carry, _):
+        key, xpy, z = carry
+        key, xpy, z, s = sampler.step_deferred(key, xpy, z, b)
+        return (key, xpy, z), s / npts
+
+    (key, xpy, z), q = jax.lax.scan(
+        step_fn, (state.key, state.x, aux_z), None, length=n_samples
+    )
+    return ChainState(x=sampler.materialize_deferred(xpy, z), key=key), q
 
 
 def sample_moments(

@@ -378,22 +378,47 @@ def fused_zero_gibbs_restrict_fd(
 def _kernel_chain(
     fscal_ref,  # SMEM (10,) f32: omega, c0lo..c2hi, noise_mult, kappa2, hinv2
     iscal_ref,  # SMEM (4,) i32: seed, color0, step, row_off
-    x_ref,  # VMEM (T, N1, N2) block min(i, G-1) of the chain state x
-    b_ref,  # VMEM (T, N1, N2) block min(i, G-1) of the chain RHS b
-    xpy_ref,  # VMEM (T, N1, N2) out block max(i-1, 0): x + y0
-    rq_ref,  # VMEM (T//2, N1//2, N2) out block max(i-1, 0)
-    xw,  # scratch (T+6, N1, N2): pre-sweep x rows jT-3 .. jT+T+2
-    bt,  # scratch (T+4, N1, N2): r~ rows jT-2 .. jT+T+1, swept IN PLACE to y
-    xprev,  # scratch (T, N1, N2): x rows jT .. jT+T-1 (from last step)
-    bprev,  # scratch (T, N1, N2): b rows jT .. jT+T-1 (from last step)
-    tail_x,  # scratch (3, N1, N2): x rows jT-3 .. jT-1
-    tail_b,  # scratch (2, N1, N2): b rows jT-2 .. jT-1
-    *,
+    *refs,
     T: int,
     shape: tuple,
     with_noise: bool,
     n0_global: int,
+    with_z: bool = False,
+    with_xsum: bool = False,
 ):
+    """Ref layout (after the two SMEM scalars), in pallas_call order:
+
+    inputs   x_ref, b_ref     (T, N1, N2) blocks min(i, G-1) of the chain
+                              state x and RHS b
+             [zx2_ref]        (T//2, N1//2, N2) block min(i, G-1): the
+                              PREVIOUS step's coarse correction with lanes
+                              pre-duplicated — when with_z, the chain
+                              state is x = x_ref + P zx2 and the
+                              prolong-add is DEFERRED into this kernel
+                              (x is never materialised in HBM)
+    outputs  xpy_ref          (T, N1, N2) out block max(i-1, 0): x + y0
+             rq_ref           (T//2, N1//2, N2) out block max(i-1, 0)
+             [xsum_ref]       (T, N2) out block: xpy summed over axis 1
+                              (lets QOI reductions skip the fine grid)
+    scratch  xw               (T+6, N1, N2): pre-sweep x rows jT-3..jT+T+2
+             bt               (T+4, N1, N2): r~ rows jT-2..jT+T+1, swept
+                              IN PLACE to y
+             xprev, bprev     (T, N1, N2): rows jT..jT+T-1 from last step
+             tail_x           (3, N1, N2): x rows jT-3..jT-1
+             tail_b           (2, N1, N2): b rows jT-2..jT-1
+             [zw, zprev, tail_z]  z analogues of xw / xprev / tail_x
+    """
+    k = 2
+    x_ref, b_ref = refs[0], refs[1]
+    z_ref = refs[k] if with_z else None
+    k += 1 if with_z else 0
+    xpy_ref, rq_ref = refs[k], refs[k + 1]
+    k += 2
+    xsum_ref = refs[k] if with_xsum else None
+    k += 1 if with_xsum else 0
+    xw, bt, xprev, bprev, tail_x, tail_b = refs[k : k + 6]
+    if with_z:
+        zw, zprev, tail_z = refs[k + 6 : k + 9]
     # Global-row masking/keying (gg = g + row_off vs n0_global) lets a
     # shard_map caller run the chain down-phase on halo-extended local
     # blocks — see parallel.fused.
@@ -473,6 +498,29 @@ def _kernel_chain(
         xw[T + 4] = x_ref[jnp.minimum(1, T - 1)]
         xw[T + 5] = x_ref[jnp.minimum(2, T - 1)]
 
+        if with_z:
+            # ---- deferred prolong-add: x = xpy_prev + P z ----------------
+            # z window rows jT/2-2 .. jT/2+T/2+1 cover fine rows
+            # jT-4 .. jT+T+3; expand rows x2 (leading axis) and sublanes
+            # x2 (lanes were pre-duplicated by the caller), then add into
+            # the x window.  Out-of-range halo rows add garbage that the
+            # up/dn masks already exclude, exactly like xw's own tails.
+            zw[0] = tail_z[0]
+            zw[1] = tail_z[1]
+            zw[pl.ds(2, T // 2)] = zprev[:]
+            zw[T // 2 + 2] = z_ref[0]
+            zw[T // 2 + 3] = z_ref[jnp.minimum(1, T // 2 - 1)]
+            zv = zw[:]  # (T//2+4, N1//2, N2)
+            h = T // 2 + 4
+            zr = jnp.broadcast_to(
+                zv[:, None], (h, 2, N1 // 2, N2)
+            ).reshape(2 * h, N1 // 2, N2)
+            zf = jnp.broadcast_to(
+                zr[:, :, None], (2 * h, N1 // 2, 2, N2)
+            ).reshape(2 * h, N1, N2)
+            # zf row q = fine row jT-4+q; xw row l = fine row jT-3+l
+            xw[:] = xw[:] + zf[1 : T + 7]
+
         # ---- (A x) on rows jT-2 .. jT+T+1 (xw rows 1..W) -----------------
         parx, diagx, upx, dnx = geom(T + 6, -3)
         xv = xw[:]
@@ -512,9 +560,13 @@ def _kernel_chain(
         upd3 = winv3 * (y0 - neigh_sum(y0, W, up3, dn3))
         bt[:] = jnp.where(par3 == (1 - color0), upd3, y0)
 
-        # ---- xpy = x + y0 (the fused chain-state add) --------------------
+        # ---- xpy = x + y0 (the fused chain-state add; xv rows 3..T+2
+        # hold x = xpy_prev + P z when with_z) -----------------------------
         yf = bt[:]
-        xpy_ref[:] = xprev[:] + yf[2 : T + 2]
+        out = xv[3 : T + 3] + yf[2 : T + 2]
+        xpy_ref[:] = out
+        if with_xsum:
+            xsum_ref[:] = out.sum(axis=1)
 
         # ---- restricted residual of (r - A y0) ---------------------------
         ay3 = (diag3 * yf + neigh_sum(yf, W, up3, dn3))[2 : T + 2]
@@ -534,6 +586,11 @@ def _kernel_chain(
         tail_b[1] = jnp.zeros((N1, N2), jnp.float32)
         xpy_ref[:] = x_ref[:]  # overwritten at step 1
         rq_ref[:] = jnp.zeros((T // 2, N1 // 2, N2), jnp.float32)
+        if with_z:
+            tail_z[0] = jnp.zeros((N1 // 2, N2), jnp.float32)
+            tail_z[1] = jnp.zeros((N1 // 2, N2), jnp.float32)
+        if with_xsum:
+            xsum_ref[:] = jnp.zeros((T, N2), jnp.float32)
 
     @pl.when(jnp.logical_and(i > 0, i < G))
     def _slide_tails():
@@ -542,16 +599,23 @@ def _kernel_chain(
         tail_x[2] = xprev[T - 1]
         tail_b[0] = bprev[T - 2]
         tail_b[1] = bprev[T - 1]
+        if with_z:
+            tail_z[0] = zprev[T // 2 - 2]
+            tail_z[1] = zprev[T // 2 - 1]
 
     @pl.when(i < G)
     def _slide():
         xprev[:] = x_ref[:]
         bprev[:] = b_ref[:]
+        if with_z:
+            zprev[:] = z_ref[:]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sweep", "tile", "interpret", "with_noise", "n0_global"),
+    static_argnames=(
+        "sweep", "tile", "interpret", "with_noise", "n0_global", "with_xsum",
+    ),
 )
 def fused_chain_down_fd(
     x,
@@ -569,13 +633,24 @@ def fused_chain_down_fd(
     with_noise: bool = True,
     row_offset=0,  # global row of array row 0 (traced; shard_map use)
     n0_global: "int | None" = None,  # global grid extent for masks
+    zx2=None,  # (N0/2, N1/2, N2) lane-duplicated coarse correction
+    with_xsum: bool = False,
 ):
-    """(xpy, rq): fused chain-level MGMC down-phase.
+    """(xpy, rq[, xsum]): fused chain-level MGMC down-phase.
 
     xpy = x + y0 where y0 is one stochastic red/black SOR sweep from zero
     applied to r~ = (b - A x) + noise; rq is the 2x2x2-aggregate
     restriction of (b - A x) - A y0 with the lane pair-sum still open:
     ``rc = rq.reshape(n0/2, n1/2, n2/2, 2).sum(-1)``.
+
+    ``zx2`` defers the previous cycle's fine prolong-add into this
+    kernel: the chain state is x_true = x + P z where ``zx2`` is z with
+    lanes pre-duplicated (``zx2[m, p, k] = z[m, p, k // 2]``), and the
+    kernel expands rows/sublanes on the fly — x_true never touches HBM
+    (saves read xpy + write x + read x ~= 1.6 fine-grid passes/cycle vs
+    materialising; the adds happen in the same order, so results are
+    bit-identical).  ``with_xsum`` additionally emits xpy summed over
+    axis 1 so a mean-QOI chain never re-reads the fine grid.
     """
     N0, N1, N2 = x.shape
     if n0_global is None:
@@ -583,6 +658,11 @@ def fused_chain_down_fd(
     from parmgmc_tpu.kernels.rb_gibbs import _PLANE_LIMIT
 
     if N1 * N2 > _PLANE_LIMIT:
+        if zx2 is not None or with_xsum:
+            raise ValueError(
+                "deferred-z / xsum need the whole-plane chain kernel "
+                f"(plane {N1}x{N2} exceeds {_PLANE_LIMIT} points)"
+            )
         # whole-plane windows exceed VMEM: 2D-tiled variant
         return fused_chain_down_2d(
             x,
@@ -600,9 +680,12 @@ def fused_chain_down_fd(
             row_offset=row_offset,
             n0_global=n0_global,
         )
+    with_z = zx2 is not None
     # VMEM planes: scratch 4T+15 + x/b/xpy blocks 6T + rq blocks T/2 +
-    # whole-window value temporaries (ax3/upd3/ay3/r2/shifts ~ 6 windows)
-    T = _auto_tile(N0, N1 * N2 * 4, 17, 28, tile)
+    # whole-window value temporaries (ax3/upd3/ay3/r2/shifts ~ 6 windows);
+    # with_z adds the half-size z streams plus the zf expansion window
+    T = _auto_tile(N0, N1 * N2 * 4, 19 if with_z else 17,
+                   36 if with_z else 28, tile)
     if tile is None:
         while T and T > 16:  # Mosaic compile blows up past T=16
             T //= 2
@@ -637,51 +720,68 @@ def fused_chain_down_fd(
         shape=(N0, N1, N2),
         with_noise=with_noise,
         n0_global=n0_global,
+        with_z=with_z,
+        with_xsum=with_xsum,
     )
+    lookahead = lambda i: (jnp.minimum(i, G - 1), 0, 0)
+    produced = lambda i: (jnp.maximum(i - 1, 0), 0, 0)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((T, N1, N2), lookahead, memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, N1, N2), lookahead, memory_space=pltpu.VMEM),
+    ]
+    args = [fscal, iscal, x, b]
+    if with_z:
+        in_specs.append(
+            pl.BlockSpec(
+                (T // 2, N1 // 2, N2), lookahead, memory_space=pltpu.VMEM
+            )
+        )
+        args.append(zx2)
+    out_specs = [
+        pl.BlockSpec((T, N1, N2), produced, memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (T // 2, N1 // 2, N2), produced, memory_space=pltpu.VMEM
+        ),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32),
+        jax.ShapeDtypeStruct((N0 // 2, N1 // 2, N2), jnp.float32),
+    ]
+    if with_xsum:
+        out_specs.append(
+            pl.BlockSpec(
+                (T, N2),
+                lambda i: (jnp.maximum(i - 1, 0), 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((N0, N2), jnp.float32))
+    scratch_shapes = [
+        pltpu.VMEM((T + 6, N1, N2), jnp.float32),  # xw
+        pltpu.VMEM((T + 4, N1, N2), jnp.float32),  # bt (r~ -> y)
+        pltpu.VMEM((T, N1, N2), jnp.float32),  # xprev
+        pltpu.VMEM((T, N1, N2), jnp.float32),  # bprev
+        pltpu.VMEM((3, N1, N2), jnp.float32),  # tail_x
+        pltpu.VMEM((2, N1, N2), jnp.float32),  # tail_b
+    ]
+    if with_z:
+        scratch_shapes += [
+            pltpu.VMEM((T // 2 + 4, N1 // 2, N2), jnp.float32),  # zw
+            pltpu.VMEM((T // 2, N1 // 2, N2), jnp.float32),  # zprev
+            pltpu.VMEM((2, N1 // 2, N2), jnp.float32),  # tail_z
+        ]
     return pl.pallas_call(
         kern,
         grid=(G + 1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (T, N1, N2),
-                lambda i: (jnp.minimum(i, G - 1), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (T, N1, N2),
-                lambda i: (jnp.minimum(i, G - 1), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (T, N1, N2),
-                lambda i: (jnp.maximum(i - 1, 0), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (T // 2, N1 // 2, N2),
-                lambda i: (jnp.maximum(i - 1, 0), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32),
-            jax.ShapeDtypeStruct((N0 // 2, N1 // 2, N2), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((T + 6, N1, N2), jnp.float32),  # xw
-            pltpu.VMEM((T + 4, N1, N2), jnp.float32),  # bt (r~ -> y)
-            pltpu.VMEM((T, N1, N2), jnp.float32),  # xprev
-            pltpu.VMEM((T, N1, N2), jnp.float32),  # bprev
-            pltpu.VMEM((3, N1, N2), jnp.float32),  # tail_x
-            pltpu.VMEM((2, N1, N2), jnp.float32),  # tail_b
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
         compiler_params=_compiler_params(),
-    )(fscal, iscal, x, b)
+    )(*args)
 
 
 # ---------------------------------------------------------------------------

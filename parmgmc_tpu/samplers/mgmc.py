@@ -351,6 +351,70 @@ class MGMCSampler:
             key, x = smoother.step(key, x, bl)
         return x
 
+    # -- deferred-prolong chain (lazy fine state) ---------------------------
+    def deferred_eligible(self) -> bool:
+        """Can the chain run with the fine prolong-add DEFERRED into the
+        next step's kernel?  Requires the whole-plane chain-kernel path
+        (3D, fused FD, aggregation transfer, N0 % 4, plane within the
+        VMEM window)."""
+        from parmgmc_tpu.kernels.rb_gibbs import _PLANE_LIMIT
+
+        gs = self.grid_shape
+        return (
+            len(gs) == 3
+            and self._down_fused_eligible(0)
+            and gs[0] % 4 == 0
+            and gs[1] * gs[2] <= _PLANE_LIMIT
+        )
+
+    def step_deferred(self, key, xpy, z, b):
+        """(key, xpy', z', sum_x'): chain step on the LAZY state.
+
+        The pair (xpy, z) represents the sample x = xpy + P0 z without
+        materialising it: the add is deferred into the next step's chain
+        kernel (``fused_chain_down_fd(zx2=...)``), saving ~1.6 fine-grid
+        HBM passes per cycle vs :meth:`step`.  Bit-identical to
+        :meth:`step` under the same key (the kernel performs the same
+        adds in the same order).  ``sum_x'`` is the global sum of the
+        materialised sample (from the kernel's axis-1 row sums plus
+        ``2^d * sum(z')``), so mean-QOI chains never re-read the fine
+        grid.  Start from z = zeros; materialise the final state with
+        :meth:`materialize_deferred`.
+        """
+        from parmgmc_tpu.kernels.mg_sweep import fused_chain_down_fd
+
+        key, sub = jax.random.split(key)
+        s = self.smoothers[0]
+        sub, k1, k2 = jax.random.split(sub, 3)
+        seed = jax.random.randint(k1, (), 0, 2**31 - 1, dtype=jnp.int32)
+        stp = jax.random.randint(k2, (), 0, 2**31 - 1, dtype=jnp.int32)
+        n0, n1, n2 = self.grid_shape
+        zx2 = jnp.broadcast_to(z[..., None], (*z.shape, 2)).reshape(
+            n0 // 2, n1 // 2, n2
+        )
+        xpy2, rq, xsum = fused_chain_down_fd(
+            xpy,
+            b,
+            s._coeff6(),
+            s.fd_params[0],
+            s.fd_params[1],
+            s.omega.astype(jnp.float32),
+            seed,
+            stp,
+            sweep=s.sweep,
+            zx2=zx2,
+            with_xsum=True,
+        )
+        rc = rq.reshape(n0 // 2, n1 // 2, n2 // 2, 2).sum(-1)
+        sub, sub2 = jax.random.split(sub)
+        z1 = self._cycle_keyed(1, rc, sub2)
+        sum_x = jnp.sum(xsum) + 8.0 * jnp.sum(z1)
+        return key, xpy2, z1, sum_x
+
+    def materialize_deferred(self, xpy, z):
+        """The sample the lazy pair (xpy, z) represents: xpy + P0 z."""
+        return xpy + self.transfers[0].prolong(z)
+
     def fmg_init(self, key, b, n_cycles: int = 1):
         """(key, x0): full-multigrid (FMG) cold start.
 

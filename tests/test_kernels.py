@@ -264,3 +264,63 @@ def test_fused_chain_down_sharded_offsets():
     erq = float(jnp.abs(rq_full[8:16] - rq_l[2:]).max())
     assert exy < 1e-5, exy
     assert erq < 1e-4, erq
+
+
+def test_fused_chain_down_deferred_z():
+    """Deferred prolong-add: the chain kernel given (xpy, zx2) must be
+    bit-identical to materialising x = xpy + P z first, and the optional
+    xsum output must equal xpy.sum(axis=1) (samplers/mgmc.step_deferred,
+    chain.sample_chain_deferred)."""
+    from parmgmc_tpu.kernels.mg_sweep import fused_chain_down_fd
+    from parmgmc_tpu.operators.transfer import AggregateTransfer
+
+    shape = (16, 16, 128)
+    key = jax.random.PRNGKey(3)
+    xpy_prev = jax.random.normal(key, shape, jnp.float32)
+    b = jax.random.normal(jax.random.fold_in(key, 1), shape, jnp.float32)
+    z = jax.random.normal(
+        jax.random.fold_in(key, 2),
+        (shape[0] // 2, shape[1] // 2, shape[2] // 2),
+        jnp.float32,
+    )
+    hinv2 = float((shape[0] - 1) ** 2)
+    coeffs = jnp.full((6,), -hinv2, jnp.float32)
+    kw = dict(sweep="forward", interpret=True, with_noise=False)
+
+    tr = AggregateTransfer(fine_shape=shape)
+    x = xpy_prev + tr.prolong(z)
+    xpy_a, rq_a = fused_chain_down_fd(x, b, coeffs, 1.0, hinv2, 1.0, 3, 5, **kw)
+
+    zx2 = jnp.broadcast_to(z[..., None], (*z.shape, 2)).reshape(
+        shape[0] // 2, shape[1] // 2, shape[2]
+    )
+    xpy_b, rq_b, xsum = fused_chain_down_fd(
+        xpy_prev, b, coeffs, 1.0, hinv2, 1.0, 3, 5,
+        zx2=zx2, with_xsum=True, **kw,
+    )
+    assert bool(jnp.all(xpy_a == xpy_b))
+    assert bool(jnp.all(rq_a == rq_b))
+    assert float(jnp.abs(xsum - xpy_b.sum(1)).max()) == 0.0
+
+
+def test_sample_chain_deferred_matches_standard():
+    """step_deferred drives the identical chain (deterministic kernel
+    paths can't run the on-chip PRNG on CPU, so this exercises the
+    driver plumbing in interpret-free lax mode is impossible — instead
+    compare the DETERMINISTIC materialisation identity over the lazy
+    state algebra on a tiny MGMC sampler)."""
+    from parmgmc_tpu.models.problems import gmrf_3d
+    from parmgmc_tpu.samplers.mgmc import MGMCSampler
+
+    op = gmrf_3d(8, kappa=1.0, dtype=jnp.float32)
+    smp = MGMCSampler.create(
+        op, n_pre=1, n_post=0, coarsest_size=16, coarsening="aggregate",
+        impl="fused_fd",
+    )
+    # on CPU the fused path cannot run; eligibility must say so and the
+    # lazy-state materialisation helper must match the transfer's prolong
+    z = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 4), jnp.float32)
+    xpy = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 8), jnp.float32)
+    want = xpy + smp.transfers[0].prolong(z)
+    got = smp.materialize_deferred(xpy, z)
+    assert bool(jnp.all(want == got))
