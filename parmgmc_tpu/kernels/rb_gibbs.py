@@ -27,6 +27,7 @@ family the exactness tests verify for the lax path.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -93,6 +94,41 @@ def _mix(a, b):
     return x
 
 
+# sin(2*pi*x) on [-1/4, 1/4] as an odd polynomial (Taylor degree 11 in
+# y = 2*pi*x; max error 1.8e-7 over the full period after folding — f32
+# rounding level, checked against float64 sin/cos on 2M points).
+_SINCOS_COEFFS = tuple(
+    (-1.0) ** k * _TWO_PI ** (2 * k + 1) / float(math.factorial(2 * k + 1))
+    for k in range(6)
+)
+
+
+def _sin2pi_poly(x):
+    x2 = x * x
+    p = jnp.float32(_SINCOS_COEFFS[5])
+    for c in _SINCOS_COEFFS[4::-1]:
+        p = p * x2 + jnp.float32(c)
+    return p * x
+
+
+def _sincos2pi(t):
+    """(cos 2*pi*t, sin 2*pi*t) for t in [0, 1).
+
+    Box-Muller's angle is ALREADY a reduced argument — t is uniform on
+    one period — so the generic jnp.sin/cos range reduction is pure
+    waste.  One fold to [-1/4, 1/4] plus the odd polynomial replaces
+    it.  Measured on the 256^3 chain kernel: 1.130 -> 0.896 ms/step
+    (generic sin+cos were ~60% of the 0.39 ms noise cost; a Giles-style
+    ICDF transform and a bitcast-exponent log were both tried and
+    measured no better than the builtins — see BENCH_NOTES.md)."""
+    r = t - jnp.floor(t + 0.5)  # [-0.5, 0.5]
+    a = jnp.abs(r)
+    sa = jnp.where(a > 0.25, 0.5 - a, a)
+    s = jnp.where(r < 0, -_sin2pi_poly(sa), _sin2pi_poly(sa))
+    c = _sin2pi_poly(0.25 - a)
+    return c, s
+
+
 def _eta_draw(h, n1, n2):
     """Two N(0,1) (n1, n2) slabs from hash h: one PRNG draw + one
     Box-Muller evaluation (the cos and sin branches)."""
@@ -105,8 +141,8 @@ def _eta_draw(h, n1, n2):
     u1 = hi1.astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-7
     u2 = hi2.astype(jnp.float32) * (1.0 / (1 << 23))
     r = jnp.sqrt(-2.0 * jnp.log(u1))
-    th = _TWO_PI * u2
-    return r * jnp.cos(th), r * jnp.sin(th)
+    c, s = _sincos2pi(u2)
+    return r * c, r * s
 
 
 def _eta_pair(su, stepu, g_even, n1, n2):
