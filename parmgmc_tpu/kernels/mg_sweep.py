@@ -398,7 +398,7 @@ def _kernel_chain(
                               (x is never materialised in HBM)
     outputs  xpy_ref          (T, N1, N2) out block max(i-1, 0): x + y0
              rq_ref           (T//2, N1//2, N2) out block max(i-1, 0)
-             [xsum_ref]       (T, N2) out block: xpy summed over axis 1
+             [xsum_ref]       (T, 1, N2) out block: xpy summed over axis 1
                               (lets QOI reductions skip the fine grid)
     scratch  xw               (T+6, N1, N2): pre-sweep x rows jT-3..jT+T+2
              bt               (T+4, N1, N2): r~ rows jT-2..jT+T+1, swept
@@ -566,7 +566,7 @@ def _kernel_chain(
         out = xv[3 : T + 3] + yf[2 : T + 2]
         xpy_ref[:] = out
         if with_xsum:
-            xsum_ref[:] = out.sum(axis=1)
+            xsum_ref[:] = out.sum(axis=1, keepdims=True)
 
         # ---- restricted residual of (r - A y0) ---------------------------
         ay3 = (diag3 * yf + neigh_sum(yf, W, up3, dn3))[2 : T + 2]
@@ -590,7 +590,7 @@ def _kernel_chain(
             tail_z[0] = jnp.zeros((N1 // 2, N2), jnp.float32)
             tail_z[1] = jnp.zeros((N1 // 2, N2), jnp.float32)
         if with_xsum:
-            xsum_ref[:] = jnp.zeros((T, N2), jnp.float32)
+            xsum_ref[:] = jnp.zeros((T, 1, N2), jnp.float32)
 
     @pl.when(jnp.logical_and(i > 0, i < G))
     def _slide_tails():
@@ -750,14 +750,16 @@ def fused_chain_down_fd(
         jax.ShapeDtypeStruct((N0 // 2, N1 // 2, N2), jnp.float32),
     ]
     if with_xsum:
+        # (T, 1, N2) blocks: a 2D (T, N2) block trips the sublane-tiling
+        # requirement when T < 8 (the 512^3 tile is 4)
         out_specs.append(
             pl.BlockSpec(
-                (T, N2),
-                lambda i: (jnp.maximum(i - 1, 0), 0),
+                (T, 1, N2),
+                lambda i: (jnp.maximum(i - 1, 0), 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
-        out_shape.append(jax.ShapeDtypeStruct((N0, N2), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((N0, 1, N2), jnp.float32))
     scratch_shapes = [
         pltpu.VMEM((T + 6, N1, N2), jnp.float32),  # xw
         pltpu.VMEM((T + 4, N1, N2), jnp.float32),  # bt (r~ -> y)
