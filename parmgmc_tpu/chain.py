@@ -108,20 +108,32 @@ def sample_chain_deferred(
     Produces the bit-identical sample sequence to ``sample_chain`` with
     ``extract=jnp.mean`` (same keys, same add order), minus ~1.6
     fine-grid HBM passes per step.  The returned state is materialised.
+
+    QOI assembly runs one step late: the kernel emits the z part of
+    sample t's sum while streaming zx2 during step t+1 (see
+    ``step_deferred``), so the scan emits q_{t-1} at step t and the last
+    sample's mean is completed after the scan — no step re-reads zx2.
     """
     import math
 
-    aux_z = jnp.zeros(sampler.ops[1].grid_shape, state.x.dtype)
+    n0, n1, n2 = sampler.grid_shape
+    aux_z = jnp.zeros((n0 // 2, n1 // 2, n2), state.x.dtype)
     npts = math.prod(sampler.grid_shape)
 
     def step_fn(carry, _):
-        key, xpy, z = carry
-        key, xpy, z, s = sampler.step_deferred(key, xpy, z, b)
-        return (key, xpy, z), s / npts
+        key, xpy, z, sx_prev = carry
+        key, xpy, z, sx, zs_prev = sampler.step_deferred(key, xpy, z, b)
+        # zs_prev completes the PREVIOUS sample's global sum
+        return (key, xpy, z, sx), (sx_prev + zs_prev) / npts
 
-    (key, xpy, z), q = jax.lax.scan(
-        step_fn, (state.key, state.x, aux_z), None, length=n_samples
+    (key, xpy, z, sx_last), q = jax.lax.scan(
+        step_fn,
+        (state.key, state.x, aux_z, jnp.zeros((), state.x.dtype)),
+        None,
+        length=n_samples,
     )
+    q_last = (sx_last + 4.0 * jnp.sum(z)) / npts
+    q = jnp.concatenate([q[1:], q_last[None]])
     return ChainState(x=sampler.materialize_deferred(xpy, z), key=key), q
 
 

@@ -385,6 +385,7 @@ def _kernel_chain(
     n0_global: int,
     with_z: bool = False,
     with_xsum: bool = False,
+    with_zsum: bool = False,
 ):
     """Ref layout (after the two SMEM scalars), in pallas_call order:
 
@@ -400,6 +401,10 @@ def _kernel_chain(
              rq_ref           (T//2, N1//2, N2) out block max(i-1, 0)
              [xsum_ref]       (T, 1, N2) out block: xpy summed over axis 1
                               (lets QOI reductions skip the fine grid)
+             [zsum_ref]       (1, 1, N2) accumulated sums of the zx2
+                              INPUT (= the previous step's correction):
+                              the z part of the PREVIOUS sample's global
+                              sum, so the chain never re-reads zx2
     scratch  xw               (T+6, N1, N2): pre-sweep x rows jT-3..jT+T+2
              bt               (T+4, N1, N2): r~ rows jT-2..jT+T+1, swept
                               IN PLACE to y
@@ -416,6 +421,8 @@ def _kernel_chain(
     k += 2
     xsum_ref = refs[k] if with_xsum else None
     k += 1 if with_xsum else 0
+    zsum_ref = refs[k] if with_zsum else None
+    k += 1 if with_zsum else 0
     xw, bt, xprev, bprev, tail_x, tail_b = refs[k : k + 6]
     if with_z:
         zw, zprev, tail_z = refs[k + 6 : k + 9]
@@ -610,11 +617,25 @@ def _kernel_chain(
         if with_z:
             zprev[:] = z_ref[:]
 
+    if with_zsum:
+        # z blocks are min(i, G-1): each block 0..G-1 appears exactly once
+        # over the steps i < G (block G-1 repeats at i == G — excluded).
+        @pl.when(i == 0)
+        def _zsum_init():
+            zsum_ref[:] = z_ref[:].sum(axis=(0, 1), keepdims=True)
+
+        @pl.when(jnp.logical_and(i > 0, i < G))
+        def _zsum_acc():
+            zsum_ref[:] = zsum_ref[:] + z_ref[:].sum(
+                axis=(0, 1), keepdims=True
+            )
+
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "sweep", "tile", "interpret", "with_noise", "n0_global", "with_xsum",
+        "with_zsum",
     ),
 )
 def fused_chain_down_fd(
@@ -635,8 +656,9 @@ def fused_chain_down_fd(
     n0_global: "int | None" = None,  # global grid extent for masks
     zx2=None,  # (N0/2, N1/2, N2) lane-duplicated coarse correction
     with_xsum: bool = False,
+    with_zsum: bool = False,
 ):
-    """(xpy, rq[, xsum]): fused chain-level MGMC down-phase.
+    """(xpy, rq[, xsum][, zsum]): fused chain-level MGMC down-phase.
 
     xpy = x + y0 where y0 is one stochastic red/black SOR sweep from zero
     applied to r~ = (b - A x) + noise; rq is the 2x2x2-aggregate
@@ -651,6 +673,11 @@ def fused_chain_down_fd(
     materialising; the adds happen in the same order, so results are
     bit-identical).  ``with_xsum`` additionally emits xpy summed over
     axis 1 so a mean-QOI chain never re-reads the fine grid.
+    ``with_zsum`` (requires zx2) emits the (1, 1, N2) lane sums of the
+    zx2 INPUT — i.e. of the PREVIOUS step's coarse correction — so the
+    chain driver recovers the previous sample's global sum without an
+    extra pass over zx2 (``sum(x_prev) = sum(xsum_prev) + 4*sum(zsum)``,
+    the 4 because zx2 duplicates lanes and P duplicates 2 axes more).
     """
     N0, N1, N2 = x.shape
     if n0_global is None:
@@ -658,7 +685,7 @@ def fused_chain_down_fd(
     from parmgmc_tpu.kernels.rb_gibbs import _PLANE_LIMIT
 
     if N1 * N2 > _PLANE_LIMIT:
-        if zx2 is not None or with_xsum:
+        if zx2 is not None or with_xsum or with_zsum:
             raise ValueError(
                 "deferred-z / xsum need the whole-plane chain kernel "
                 f"(plane {N1}x{N2} exceeds {_PLANE_LIMIT} points)"
@@ -681,6 +708,8 @@ def fused_chain_down_fd(
             n0_global=n0_global,
         )
     with_z = zx2 is not None
+    if with_zsum and not with_z:
+        raise ValueError("with_zsum requires zx2")
     # VMEM planes: scratch 4T+15 + x/b/xpy blocks 6T + rq blocks T/2 +
     # whole-window value temporaries (ax3/upd3/ay3/r2/shifts ~ 6 windows);
     # with_z adds the half-size z streams plus the zf expansion window
@@ -722,6 +751,7 @@ def fused_chain_down_fd(
         n0_global=n0_global,
         with_z=with_z,
         with_xsum=with_xsum,
+        with_zsum=with_zsum,
     )
     lookahead = lambda i: (jnp.minimum(i, G - 1), 0, 0)
     produced = lambda i: (jnp.maximum(i - 1, 0), 0, 0)
@@ -760,6 +790,13 @@ def fused_chain_down_fd(
             )
         )
         out_shape.append(jax.ShapeDtypeStruct((N0, 1, N2), jnp.float32))
+    if with_zsum:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, N2), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((1, 1, N2), jnp.float32))
     scratch_shapes = [
         pltpu.VMEM((T + 6, N1, N2), jnp.float32),  # xw
         pltpu.VMEM((T + 4, N1, N2), jnp.float32),  # bt (r~ -> y)

@@ -367,19 +367,27 @@ class MGMCSampler:
             and gs[1] * gs[2] <= _PLANE_LIMIT
         )
 
-    def step_deferred(self, key, xpy, z, b):
-        """(key, xpy', z', sum_x'): chain step on the LAZY state.
+    def step_deferred(self, key, xpy, zx2, b):
+        """(key, xpy', zx2', sum_xpy', zprev_sum): lazy chain step.
 
-        The pair (xpy, z) represents the sample x = xpy + P0 z without
+        The pair (xpy, zx2) represents the sample x = xpy + P0 z without
         materialising it: the add is deferred into the next step's chain
         kernel (``fused_chain_down_fd(zx2=...)``), saving ~1.6 fine-grid
-        HBM passes per cycle vs :meth:`step`.  Bit-identical to
-        :meth:`step` under the same key (the kernel performs the same
-        adds in the same order).  ``sum_x'`` is the global sum of the
-        materialised sample (from the kernel's axis-1 row sums plus
-        ``2^d * sum(z')``), so mean-QOI chains never re-read the fine
-        grid.  Start from z = zeros; materialise the final state with
-        :meth:`materialize_deferred`.
+        HBM passes per cycle vs :meth:`step`.  ``zx2`` carries the coarse
+        correction z with LANES PRE-DUPLICATED (``zx2[..., k] =
+        z[..., k // 2]``) — the layout the kernel consumes — and is
+        produced in that form directly (the lane broadcast fuses into the
+        up-phase add, so no separate duplication pass runs).
+        Bit-identical samples to :meth:`step` under the same key (the
+        kernel performs the same adds in the same order).
+
+        QOI plumbing: ``sum_xpy'`` is the sum of this step's xpy'
+        (kernel row sums); ``zprev_sum`` is ``4 * sum(zx2)`` — the
+        ``P0 z`` part of the PREVIOUS sample's global sum, accumulated by
+        the kernel while it streams zx2, so the chain driver recovers
+        ``sum(x_t) = sum_xpy'_t + zprev_sum_{t+1}`` one step late and
+        never re-reads the fine grid or zx2.  Start from zx2 = zeros;
+        materialise the final state with :meth:`materialize_deferred`.
         """
         from parmgmc_tpu.kernels.mg_sweep import fused_chain_down_fd
 
@@ -389,10 +397,7 @@ class MGMCSampler:
         seed = jax.random.randint(k1, (), 0, 2**31 - 1, dtype=jnp.int32)
         stp = jax.random.randint(k2, (), 0, 2**31 - 1, dtype=jnp.int32)
         n0, n1, n2 = self.grid_shape
-        zx2 = jnp.broadcast_to(z[..., None], (*z.shape, 2)).reshape(
-            n0 // 2, n1 // 2, n2
-        )
-        xpy2, rq, xsum = fused_chain_down_fd(
+        xpy2, rq, xsum, zsum = fused_chain_down_fd(
             xpy,
             b,
             s._coeff6(),
@@ -404,16 +409,24 @@ class MGMCSampler:
             sweep=s.sweep,
             zx2=zx2,
             with_xsum=True,
+            with_zsum=True,
         )
         rc = rq.reshape(n0 // 2, n1 // 2, n2 // 2, 2).sum(-1)
         sub, sub2 = jax.random.split(sub)
         z1 = self._cycle_keyed(1, rc, sub2)
-        sum_x = jnp.sum(xsum) + 8.0 * jnp.sum(z1)
-        return key, xpy2, z1, sum_x
+        zx2n = jnp.broadcast_to(z1[..., None], (*z1.shape, 2)).reshape(
+            n0 // 2, n1 // 2, n2
+        )
+        return key, xpy2, zx2n, jnp.sum(xsum), 4.0 * jnp.sum(zsum)
 
-    def materialize_deferred(self, xpy, z):
-        """The sample the lazy pair (xpy, z) represents: xpy + P0 z."""
-        return xpy + self.transfers[0].prolong(z)
+    def materialize_deferred(self, xpy, zx2):
+        """The sample the lazy pair represents: xpy + P0 z, where zx2 is
+        the lane-duplicated z (expand the remaining two axes and add)."""
+        n0, n1, n2 = self.grid_shape
+        zf = jnp.broadcast_to(
+            zx2[:, None, :, None, :], (n0 // 2, 2, n1 // 2, 2, n2)
+        ).reshape(n0, n1, n2)
+        return xpy + zf
 
     def fmg_init(self, key, b, n_cycles: int = 1):
         """(key, x0): full-multigrid (FMG) cold start.

@@ -294,13 +294,16 @@ def test_fused_chain_down_deferred_z():
     zx2 = jnp.broadcast_to(z[..., None], (*z.shape, 2)).reshape(
         shape[0] // 2, shape[1] // 2, shape[2]
     )
-    xpy_b, rq_b, xsum = fused_chain_down_fd(
+    xpy_b, rq_b, xsum, zsum = fused_chain_down_fd(
         xpy_prev, b, coeffs, 1.0, hinv2, 1.0, 3, 5,
-        zx2=zx2, with_xsum=True, **kw,
+        zx2=zx2, with_xsum=True, with_zsum=True, **kw,
     )
     assert bool(jnp.all(xpy_a == xpy_b))
     assert bool(jnp.all(rq_a == rq_b))
     assert float(jnp.abs(xsum[:, 0, :] - xpy_b.sum(1)).max()) == 0.0
+    # zsum accumulates the zx2 INPUT's (rows, sublanes) sums per lane
+    want_zsum = zx2.sum(axis=(0, 1))
+    assert float(jnp.abs(zsum[0, 0, :] - want_zsum).max()) < 1e-4
 
 
 def test_sample_chain_deferred_matches_standard():
@@ -319,8 +322,10 @@ def test_sample_chain_deferred_matches_standard():
     )
     # on CPU the fused path cannot run; eligibility must say so and the
     # lazy-state materialisation helper must match the transfer's prolong
+    # (the lazy z rides in lane-duplicated zx2 form)
     z = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 4), jnp.float32)
     xpy = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 8), jnp.float32)
+    zx2 = jnp.broadcast_to(z[..., None], (4, 4, 4, 2)).reshape(4, 4, 8)
     want = xpy + smp.transfers[0].prolong(z)
-    got = smp.materialize_deferred(xpy, z)
+    got = smp.materialize_deferred(xpy, zx2)
     assert bool(jnp.all(want == got))
