@@ -116,9 +116,9 @@ def sample_chain_deferred(
     """
     import math
 
-    n0, n1, n2 = sampler.grid_shape
-    aux_z = jnp.zeros((n0 // 2, n1 // 2, n2), state.x.dtype)
     npts = math.prod(sampler.grid_shape)
+    if n_samples == 0:
+        return state, jnp.zeros((0,), state.x.dtype)
 
     def step_fn(carry, _):
         key, xpy, z, sx_prev = carry
@@ -128,11 +128,16 @@ def sample_chain_deferred(
 
     (key, xpy, z, sx_last), q = jax.lax.scan(
         step_fn,
-        (state.key, state.x, aux_z, jnp.zeros((), state.x.dtype)),
+        (
+            state.key,
+            state.x,
+            sampler.deferred_init(state.x.dtype),
+            jnp.zeros((), state.x.dtype),
+        ),
         None,
         length=n_samples,
     )
-    q_last = (sx_last + 4.0 * jnp.sum(z)) / npts
+    q_last = (sx_last + sampler.deferred_final_sum(z)) / npts
     q = jnp.concatenate([q[1:], q_last[None]])
     return ChainState(x=sampler.materialize_deferred(xpy, z), key=key), q
 

@@ -294,13 +294,20 @@ class MGMCSampler:
         rc = rq.reshape(n0 // 2, n1 // 2, n2 // 2, 2).sum(-1)
         return y, rc, key
 
-    def _fused_chain_down(self, x, b, key):
-        """(xpy, rc, key): fused chain-level down-phase at level 0.
+    def _fused_chain_down(
+        self, x, b, key, zx2=None, with_xsum=False, with_zsum=False
+    ):
+        """(xpy, rc, key, *extras): fused chain down-phase at level 0.
 
         One kernel streams the chain state x and RHS b and produces
         xpy = x + y0 (pre-smooth of r = b - A x from zero) plus the
         restricted residual — the residual program and the final
         three-array add both disappear (kernels.mg_sweep _kernel_chain).
+        The deferred-chain kwargs (zx2/with_xsum/with_zsum) pass through
+        to the kernel; extras = the kernel's optional xsum/zsum outputs.
+        This is the ONLY place the chain kernel's key consumption is
+        derived — step and step_deferred both route through it, which is
+        what keeps their sample sequences bit-identical.
         """
         from parmgmc_tpu.kernels.mg_sweep import fused_chain_down_fd
 
@@ -308,7 +315,7 @@ class MGMCSampler:
         key, k1, k2 = jax.random.split(key, 3)
         seed = jax.random.randint(k1, (), 0, 2**31 - 1, dtype=jnp.int32)
         step = jax.random.randint(k2, (), 0, 2**31 - 1, dtype=jnp.int32)
-        xpy, rq = fused_chain_down_fd(
+        out = fused_chain_down_fd(
             x,
             b,
             s._coeff6(),
@@ -318,10 +325,14 @@ class MGMCSampler:
             seed,
             step,
             sweep=s.sweep,
+            zx2=zx2,
+            with_xsum=with_xsum,
+            with_zsum=with_zsum,
         )
+        xpy, rq = out[0], out[1]
         n0, n1, n2 = x.shape
         rc = rq.reshape(n0 // 2, n1 // 2, n2 // 2, 2).sum(-1)
-        return xpy, rc, key
+        return (xpy, rc, key, *out[2:])
 
     def _cycle_keyed(self, l: int, bl, key):
         if l == self.n_levels - 1:
@@ -389,35 +400,28 @@ class MGMCSampler:
         never re-reads the fine grid or zx2.  Start from zx2 = zeros;
         materialise the final state with :meth:`materialize_deferred`.
         """
-        from parmgmc_tpu.kernels.mg_sweep import fused_chain_down_fd
-
         key, sub = jax.random.split(key)
-        s = self.smoothers[0]
-        sub, k1, k2 = jax.random.split(sub, 3)
-        seed = jax.random.randint(k1, (), 0, 2**31 - 1, dtype=jnp.int32)
-        stp = jax.random.randint(k2, (), 0, 2**31 - 1, dtype=jnp.int32)
-        n0, n1, n2 = self.grid_shape
-        xpy2, rq, xsum, zsum = fused_chain_down_fd(
-            xpy,
-            b,
-            s._coeff6(),
-            s.fd_params[0],
-            s.fd_params[1],
-            s.omega.astype(jnp.float32),
-            seed,
-            stp,
-            sweep=s.sweep,
-            zx2=zx2,
-            with_xsum=True,
-            with_zsum=True,
+        xpy2, rc, sub, xsum, zsum = self._fused_chain_down(
+            xpy, b, sub, zx2=zx2, with_xsum=True, with_zsum=True
         )
-        rc = rq.reshape(n0 // 2, n1 // 2, n2 // 2, 2).sum(-1)
+        n0, n1, n2 = self.grid_shape
         sub, sub2 = jax.random.split(sub)
         z1 = self._cycle_keyed(1, rc, sub2)
         zx2n = jnp.broadcast_to(z1[..., None], (*z1.shape, 2)).reshape(
             n0 // 2, n1 // 2, n2
         )
         return key, xpy2, zx2n, jnp.sum(xsum), 4.0 * jnp.sum(zsum)
+
+    def deferred_init(self, dtype):
+        """Zero lazy carry: the lane-duplicated coarse correction zx2."""
+        n0, n1, n2 = self.grid_shape
+        return jnp.zeros((n0 // 2, n1 // 2, n2), dtype)
+
+    def deferred_final_sum(self, zx2):
+        """sum(P0 z) for a lazy carry: the kernel's zsum covers this one
+        step late, so the LAST sample's z part is reduced here (4 = the
+        two axes P still duplicates; lanes are already duplicated)."""
+        return 4.0 * jnp.sum(zx2)
 
     def materialize_deferred(self, xpy, zx2):
         """The sample the lazy pair represents: xpy + P0 z, where zx2 is
