@@ -42,11 +42,16 @@ DTYPE = jnp.float32
 # SOR sweep runs at 49.5 MDOF/s/core at 128^3 (out of cache), i.e.
 # ~5 GB/s/core effective at ~100 B/DOF — matching typical per-rank HPC
 # bandwidth.  64 ranks, perfect scaling, free RNG, V(1,0) at 2.57
-# fine-sweep-equivalents/cycle, matched tau=1.07 -> ~69 ESS/sec; rounded
-# UP in the reference's favour.  Model + measurement: BENCH_NOTES.md.
-# The anchor is for 256^3; the bandwidth-bound reference scales ~1/N^3
-# at matched tau, so other BENCH_N sizes scale the baseline accordingly.
-BASELINE_ESS_PER_SEC = 70.0 * (256 / N) ** 3
+# fine-sweep-equivalents/cycle -> 73.9 cycles/s at 256^3.  Matched
+# mixing: 16k-step chains measure tau ~= 1.0 for this config (the
+# constant mode is exactly solved by the coarse draw; earlier 1.07-1.14
+# readings were short-window IACT estimator noise — BENCH_NOTES), and
+# this bench clamps tau >= 1, so the anchor grants the reference the
+# same clamp: 73.9 ESS/sec, rounded UP in the reference's favour.
+# Model + measurement: BENCH_NOTES.md.  The anchor is for 256^3; the
+# bandwidth-bound reference scales ~1/N^3 at matched tau, so other
+# BENCH_N sizes scale the baseline accordingly.
+BASELINE_ESS_PER_SEC = 74.0 * (256 / N) ** 3
 
 
 def main():

@@ -161,6 +161,20 @@ class GibbsSampler:
                 fd_params = _detect_fd(base)
                 if fd_params is None:
                     impl = "fused"
+        if (
+            fd_params is None
+            and isinstance(base, StencilOperator)
+            and base.is_star()
+            and base.radius == 1
+        ):
+            # Record FD form even when the sweep impl is lax: the MGMC
+            # tail kernel (kernels.mg_tail) gates on it, and detection
+            # must happen HERE — at create time the coefficients are
+            # concrete, inside a jit trace they are tracers.
+            try:
+                fd_params = _detect_fd(base)
+            except jax.errors.ConcretizationTypeError:
+                fd_params = None
         om = jnp.asarray(omega, dtype=base.dtype)
         noise_scale = jnp.sqrt((2.0 - om) / om) * jnp.sqrt(base.diag)
         return GibbsSampler(

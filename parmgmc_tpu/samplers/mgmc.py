@@ -334,12 +334,105 @@ class MGMCSampler:
         rc = rq.reshape(n0 // 2, n1 // 2, n2 // 2, 2).sum(-1)
         return (xpy, rc, key, *out[2:])
 
+    # -- fused coarse tail: all sub-128-lane levels in one kernel ----------
+    def _tail_fused_eligible(self, l: int) -> bool:
+        """Can levels l .. n_levels-2 run as ONE Pallas tail kernel
+        (kernels.mg_tail)?  Requires the flagship V(1,0) shape on a
+        fused (unsharded) sampler, FD-form aggregate levels, and lane
+        extents that divide 128 (the duplicated-layout constraint)."""
+        if self.n_pre != 1 or self.n_post != 0 or self.gamma != 1:
+            return False
+        if l < 1 or l > self.n_levels - 2:
+            return False
+        # sharded samplers force impl="lax" everywhere; the tail kernel
+        # (and its strided-lane slices) must only run unsharded/fused
+        if getattr(self.smoothers[0], "impl", "lax") != "fused_fd":
+            return False
+        sweep = self.smoothers[l].sweep
+        for m in range(l, self.n_levels - 1):
+            s = self.smoothers[m]
+            if s.is_lrc or s.sweep != sweep:
+                return False
+            if not isinstance(self.transfers[m], AggregateTransfer):
+                return False
+            gs = self.ops[m].grid_shape
+            if len(gs) != 3 or any(d % 2 for d in gs):
+                return False
+            # FD form is detected at create time (concrete coefficients)
+            # and carried on the smoother — see GibbsSampler.create
+            if s.fd_params is None:
+                return False
+            if self.ops[m].dtype != jnp.float32:
+                return False
+        n2 = self.ops[l].grid_shape[2]
+        if n2 > 64 or 128 % n2:
+            return False
+        if 128 % self.ops[-1].grid_shape[2]:
+            return False
+        if self.ops[-1].grid_shape[1] > self.ops[l].grid_shape[1]:
+            return False
+        return True
+
+    def _fused_tail_cycle(self, l: int, bl, key):
+        """One keyed stochastic cycle over levels l..coarsest with the
+        whole smoothed tail fused into a single kernel; coarse sample
+        (dense matvecs) and the up-phase adds stay in XLA."""
+        from parmgmc_tpu.kernels.mg_tail import LANES, fused_tail_down
+
+        shapes = tuple(
+            tuple(self.ops[m].grid_shape) for m in range(l, self.n_levels)
+        )
+        S1 = shapes[0][1]
+        f0 = LANES // shapes[0][2]
+        params = []
+        for m in range(l, self.n_levels - 1):
+            s = self.smoothers[m]
+            params += [
+                s.omega.astype(jnp.float32),
+                s.fd_params[0].astype(jnp.float32),
+                s.fd_params[1].astype(jnp.float32),
+            ]
+        key, k1, k2_ = jax.random.split(key, 3)
+        seed = jax.random.randint(k1, (), 0, 2**31 - 1, dtype=jnp.int32)
+        stp = jax.random.randint(k2_, (), 0, 2**31 - 1, dtype=jnp.int32)
+        color0 = 0 if self.smoothers[l].sweep == "forward" else 1
+        bl_layout = jnp.broadcast_to(
+            bl[..., None], (*bl.shape, f0)
+        ).reshape(shapes[0][0], S1, LANES)
+        ys, rhs = fused_tail_down(
+            bl_layout,
+            jnp.stack(params),
+            seed,
+            stp,
+            color0,
+            shapes,
+            interpret=jax.default_backend() == "cpu",
+        )
+        # coarse: lane/sublane-compact the rhs and draw the exact sample
+        n0c, n1c, n2c = shapes[-1]
+        bc = rhs[:, :: S1 // n1c, :: LANES // n2c]
+        x = jnp.zeros_like(bc)
+        for _ in range(self.n_coarse):
+            key, x = self.coarse.step(key, x, bc)
+        # up phase: z_m = y_m + P z_{m+1}; in the duplicated layouts the
+        # prolongation is a leading-axis repeat only (see mg_tail)
+        z = jnp.broadcast_to(
+            x[:, :, None, :, None],
+            (n0c, n1c, S1 // n1c, n2c, LANES // n2c),
+        ).reshape(n0c, S1, LANES)
+        for m in reversed(range(len(shapes) - 1)):
+            z = ys[m] + jnp.repeat(z, 2, axis=0)
+        # compact the entry-level correction back to the true grid
+        return z[:, :, ::f0]
+
     def _cycle_keyed(self, l: int, bl, key):
         if l == self.n_levels - 1:
             x = jnp.zeros_like(bl)
             for i in range(self.n_coarse):
                 key, x = self.coarse.step(key, x, bl)
             return x
+        if self._tail_fused_eligible(l):
+            return self._fused_tail_cycle(l, bl, key)
         if self._down_fused_eligible(l):
             x, r, key = self._fused_down(l, bl, key)
             key, sub = jax.random.split(key)

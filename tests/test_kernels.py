@@ -329,3 +329,131 @@ def test_sample_chain_deferred_matches_standard():
     want = xpy + smp.transfers[0].prolong(z)
     got = smp.materialize_deferred(xpy, zx2)
     assert bool(jnp.all(want == got))
+
+
+def test_fused_tail_down_matches_twin():
+    """The Mosaic lowering of the tail kernel must match its pure-JAX
+    twin (kernels.mg_tail shares the math; interpret mode here)."""
+    from parmgmc_tpu.kernels.mg_tail import (
+        fused_tail_down,
+        tail_down_reference,
+    )
+
+    shapes = ((32, 32, 64), (16, 16, 32), (8, 8, 16), (4, 4, 8))
+    rs = np.random.RandomState(0)
+    bl = jnp.asarray(rs.randn(32, 32, 64), jnp.float32)
+    bl_layout = jnp.broadcast_to(bl[..., None], (32, 32, 64, 2)).reshape(
+        32, 32, 128
+    )
+    params, (k2, h2) = [], (1.0, float(31**2))
+    for _ in range(3):
+        params += [1.0, k2, h2]
+        k2, h2 = 8 * k2, 4 * h2
+    params = jnp.asarray(params, jnp.float32)
+
+    for wn in (False, True):
+        ys_k, rhs_k = fused_tail_down(
+            bl_layout, params, 3, 7, 0, shapes, with_noise=wn, interpret=True
+        )
+        ys_r, rhs_r = tail_down_reference(
+            bl_layout, params, 3, 7, 0, shapes, with_noise=wn
+        )
+        for a, b, shp in zip(ys_k, ys_r, shapes):
+            scale = float(jnp.abs(b).max()) + 1e-30
+            assert float(jnp.abs(a - b).max()) / scale < 1e-5
+            # duplication invariant: all slots of a true dof identical
+            n0, n1, n2 = shp
+            g, f = 32 // n1, 128 // n2
+            av = np.asarray(a).reshape(n0, n1, g, n2, f)
+            assert (av == av[:, :, :1, :, :1]).all()
+        scale = float(jnp.abs(rhs_r).max()) + 1e-30
+        assert float(jnp.abs(rhs_k - rhs_r).max()) / scale < 1e-5
+
+
+def test_fused_tail_down_deterministic_semantics():
+    """with_noise=False tail output == per-level deterministic from-zero
+    sweeps + exact restrictions computed with the production operators
+    (samplers.gibbs lax sweep + operators.transfer)."""
+    from parmgmc_tpu.kernels.mg_tail import fused_tail_down
+    from parmgmc_tpu.models.problems import gmrf_3d
+    from parmgmc_tpu.samplers.gibbs import GibbsSampler
+    from parmgmc_tpu.samplers.mgmc import build_hierarchy
+
+    op = gmrf_3d(16, kappa=1.3, dtype=jnp.float32)
+    ops, transfers = build_hierarchy(op, n_levels=4, coarsening="aggregate")
+    shapes = tuple(tuple(o.grid_shape) for o in ops[1:])  # tail from level 1
+    S1 = shapes[0][1]
+    rs = np.random.RandomState(1)
+    bl = jnp.asarray(rs.randn(*shapes[0]), jnp.float32)
+    f0 = 128 // shapes[0][2]
+    bl_layout = jnp.broadcast_to(bl[..., None], (*bl.shape, f0)).reshape(
+        shapes[0][0], S1, 128
+    )
+    smoothers = [
+        GibbsSampler.create(o, omega=1.0, sweep="forward", impl="lax")
+        for o in ops[1:-1]
+    ]
+    params = []
+    for s in smoothers:
+        assert s.fd_params is not None
+        params += [1.0, float(s.fd_params[0]), float(s.fd_params[1])]
+
+    ys_k, rhs_k = fused_tail_down(
+        bl_layout, jnp.asarray(params, jnp.float32), 0, 0, 0, shapes,
+        with_noise=False, interpret=True,
+    )
+
+    cur = bl
+    for li, s in enumerate(smoothers):
+        zero_noise = [{"eta": jnp.zeros(s.grid_shape, jnp.float32)}]
+        y_ref = s.step_with_noise(jnp.zeros_like(cur), cur, zero_noise)
+        n0, n1, n2 = shapes[li]
+        g, f = S1 // n1, 128 // n2
+        y_got = ys_k[li][:, ::g, ::f]
+        scale = float(jnp.abs(y_ref).max()) + 1e-30
+        assert float(jnp.abs(y_got - y_ref).max()) / scale < 1e-5, li
+        cur = transfers[1 + li].restrict(cur - ops[1 + li].apply(y_ref))
+    n0c, n1c, n2c = shapes[-1]
+    rhs_got = rhs_k[:, :: S1 // n1c, :: 128 // n2c]
+    scale = float(jnp.abs(cur).max()) + 1e-30
+    assert float(jnp.abs(rhs_got - cur).max()) / scale < 1e-4
+
+
+def test_tail_fused_cycle_integration():
+    """_tail_fused_eligible gates correctly and _fused_tail_cycle is a
+    deterministic keyed map with the right output shape (CPU interpret;
+    the distributional check is the TPU selftest)."""
+    from parmgmc_tpu.models.problems import gmrf_3d
+    from parmgmc_tpu.samplers.mgmc import MGMCSampler
+
+    op = gmrf_3d(16, kappa=1.0, dtype=jnp.float32)
+
+    smp = MGMCSampler.create(
+        op, n_pre=1, n_post=0, coarsest_size=16, coarsening="aggregate",
+        impl="lax",
+    )
+    assert not smp._tail_fused_eligible(1)  # lax => sharded-safe: no tail
+
+    # a (16,16,128) grid admits impl="fused_fd" at level 0 even on CPU
+    from parmgmc_tpu.operators.stencil import shifted_laplace_fd
+
+    op2 = shifted_laplace_fd((16, 16, 128), 1.0, dtype=jnp.float32)
+    smp2 = MGMCSampler.create(
+        op2, n_pre=1, n_post=0, coarsest_size=128, coarsening="aggregate",
+        impl="fused_fd",
+    )
+    assert smp2._tail_fused_eligible(1), [
+        (s.impl, s.fd_params is not None) for s in smp2.smoothers
+    ]
+    bl = jnp.asarray(
+        np.random.RandomState(2).randn(8, 8, 64), jnp.float32
+    )
+    key = jax.random.PRNGKey(5)
+    z1 = smp2._fused_tail_cycle(1, bl, key)
+    z2 = smp2._fused_tail_cycle(1, bl, key)
+    assert z1.shape == (8, 8, 64)
+    assert bool(jnp.all(z1 == z2))
+    assert bool(jnp.all(jnp.isfinite(z1)))
+    # different key => different stochastic correction
+    z3 = smp2._fused_tail_cycle(1, bl, jax.random.PRNGKey(6))
+    assert not bool(jnp.all(z1 == z3))
