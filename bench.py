@@ -32,10 +32,11 @@ N = int(os.environ.get("BENCH_N", "256"))
 # per-invocation overhead through the remote-TPU tunnel (measured:
 # dt = 2.26 ms over 64 steps vs 1.68 ms over 1536 at 256^3).
 N_TIME = int(os.environ.get("BENCH_STEPS", "512"))
-# 4096: the emcee-window tau estimate at tau ~ 1.07 carries ~6%
-# run-to-run noise at 2048 samples; doubling the series halves the SE
-# for ~6 s of extra chain time.
-N_IACT = int(os.environ.get("BENCH_IACT_STEPS", "4096"))
+# 16384: the flagship's TRUE tau is ~1.0 (BENCH_NOTES "tau ~= 1.0,
+# really"), but the emcee-window estimate on 2-4k samples swings
+# 0.95-1.14 (+-8% on the reported ESS/sec).  16k samples (~20 s of
+# chain time at 256^3) brings the estimator SE down to ~4%.
+N_IACT = int(os.environ.get("BENCH_IACT_STEPS", "16384"))
 DTYPE = jnp.float32
 
 # Measured anchor (2026-08-16, this host): the reference's CSR red/black

@@ -364,8 +364,14 @@ class MGMCSampler:
                 return False
             if self.ops[m].dtype != jnp.float32:
                 return False
-        n2 = self.ops[l].grid_shape[2]
-        if n2 > 64 or 128 % n2:
+        gs0 = self.ops[l].grid_shape
+        n2 = gs0[2]
+        if n2 > 128 or 128 % n2:
+            return False
+        # entry layout volume bound: whole-array vector ops at the
+        # (128,128,128) = 2.1M-point layout compile in ~60 s (measured);
+        # larger single ops are untested compile territory
+        if gs0[0] * gs0[1] * 128 > 128 * 128 * 128:
             return False
         if 128 % self.ops[-1].grid_shape[2]:
             return False
