@@ -264,6 +264,10 @@ def _level_shardable(sampler, l, n_dev, min_local):
     n0, n1, n2 = op.grid_shape
     return (
         s.fd_params is not None
+        # fd_params alone no longer implies kernel compatibility (it is
+        # recorded for lax smoothers too, for the MGMC tail gate) — the
+        # Pallas chain kernels are f32-only
+        and op.dtype == jnp.float32
         and isinstance(sampler.transfers[l], AggregateTransfer)
         and n0 % n_dev == 0
         and (n0 // n_dev) % 4 == 0

@@ -20,6 +20,10 @@ dense matvecs that the MXU retires in ~10 us.  Same linear map, so
 exactness (N(A^{-1}b, A^{-1})) is preserved to rounding; coarse
 operators are strongly diagonally dominant (aggregation multiplies
 kappa^2 by 2^d per level), so the inversion is well-conditioned.
+``create`` verifies ``Li L ~= I`` to near-rounding and silently falls
+back to backward-stable triangular solves (Li = None) when the
+operator is too ill-conditioned for the explicit inverse — standalone
+users on arbitrary operators keep solve accuracy.
 
 ``prepare`` caches v = Li b once per chain so repeated samples with a
 FIXED b cost one matvec each, the analogue of the Richardson
@@ -49,9 +53,18 @@ class CholeskySampler:
     def create(op) -> "CholeskySampler":
         A = op.to_dense()
         L = jnp.linalg.cholesky(A)
+        n = L.shape[0]
         Li = jax.scipy.linalg.solve_triangular(
-            L, jnp.eye(L.shape[0], dtype=L.dtype), lower=True
+            L, jnp.eye(n, dtype=L.dtype), lower=True
         )
+        # Keep the explicit inverse only when it reproduces the identity
+        # to near-rounding: the matvec fast path must not silently trade
+        # accuracy on ill-conditioned operators — the diagonal-dominance
+        # argument holds for MGMC coarse levels, not for arbitrary user
+        # operators.  Otherwise fall back to backward-stable solves.
+        err = float(jnp.abs(Li @ L - jnp.eye(n, dtype=L.dtype)).max())
+        if err > 1000 * float(jnp.finfo(L.dtype).eps):
+            Li = None
         return CholeskySampler(L=L, Li=Li, grid_shape=op.grid_shape)
 
     @property
@@ -67,12 +80,20 @@ class CholeskySampler:
 
     def prepare(self, b):
         """Cache v = L^{-1} b (reused across every sample of the chain)."""
+        if self.Li is None:
+            return jax.scipy.linalg.solve_triangular(
+                self.L, b.reshape(self.n), lower=True
+            )
         return self.Li @ b.reshape(self.n)
 
     def step_with_noise(self, x, b, noises, aux=None):
         del x  # exact sampler: iterates are i.i.d.
         v = aux if aux is not None else self.prepare(b)
-        y = self.Li.T @ (v + noises[0]["eta"])
+        w = v + noises[0]["eta"]
+        if self.Li is None:
+            y = jax.scipy.linalg.solve_triangular(self.L.T, w, lower=False)
+        else:
+            y = self.Li.T @ w
         return y.reshape(self.grid_shape)
 
     def step(self, key, x, b, aux=None):

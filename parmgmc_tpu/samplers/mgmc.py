@@ -349,6 +349,8 @@ class MGMCSampler:
         if getattr(self.smoothers[0], "impl", "lax") != "fused_fd":
             return False
         sweep = self.smoothers[l].sweep
+        if sweep not in ("forward", "backward"):  # symmetric = 2 half-sweeps
+            return False
         for m in range(l, self.n_levels - 1):
             s = self.smoothers[m]
             if s.is_lrc or s.sweep != sweep:
@@ -370,12 +372,10 @@ class MGMCSampler:
             return False
         # entry layout volume bound: whole-array vector ops at the
         # (128,128,128) = 2.1M-point layout compile in ~60 s (measured);
-        # larger single ops are untested compile territory
+        # larger single ops are untested compile territory.  (The
+        # coarsest level's extents need no separate checks: every tail
+        # n2 is an even divisor of 128, and halving preserves both.)
         if gs0[0] * gs0[1] * 128 > 128 * 128 * 128:
-            return False
-        if 128 % self.ops[-1].grid_shape[2]:
-            return False
-        if self.ops[-1].grid_shape[1] > self.ops[l].grid_shape[1]:
             return False
         return True
 

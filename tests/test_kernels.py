@@ -457,3 +457,11 @@ def test_tail_fused_cycle_integration():
     # different key => different stochastic correction
     z3 = smp2._fused_tail_cycle(1, bl, jax.random.PRNGKey(6))
     assert not bool(jnp.all(z1 == z3))
+
+    # symmetric sweeps are two half-sweeps — the single-colour tail
+    # kernel must refuse them (it would silently halve the smoothing)
+    smp4 = MGMCSampler.create(
+        op2, n_pre=1, n_post=0, coarsest_size=128,
+        coarsening="aggregate", impl="fused_fd", sweep="symmetric",
+    )
+    assert not smp4._tail_fused_eligible(1)
