@@ -409,9 +409,12 @@ def _kernel_chain(
              bt               (T+4, N1, N2): r~ rows jT-2..jT+T+1, swept
                               IN PLACE to y
              xprev, bprev     (T, N1, N2): rows jT..jT+T-1 from last step
+                              (with_z: xprev holds x = xpy_prev + P z —
+                              the prolong-add lands once per block at
+                              slide time, so tails inherit it and no z
+                              window scratch exists)
              tail_x           (3, N1, N2): x rows jT-3..jT-1
              tail_b           (2, N1, N2): b rows jT-2..jT-1
-             [zw, zprev, tail_z]  z analogues of xw / xprev / tail_x
     """
     k = 2
     x_ref, b_ref = refs[0], refs[1]
@@ -424,8 +427,6 @@ def _kernel_chain(
     zsum_ref = refs[k] if with_zsum else None
     k += 1 if with_zsum else 0
     xw, bt, xprev, bprev, tail_x, tail_b = refs[k : k + 6]
-    if with_z:
-        zw, zprev, tail_z = refs[k + 6 : k + 9]
     # Global-row masking/keying (gg = g + row_off vs n0_global) lets a
     # shard_map caller run the chain down-phase on halo-extended local
     # blocks — see parallel.fused.
@@ -494,39 +495,36 @@ def _kernel_chain(
             + c2hi * _shift_plane(v3, 2, 1, N2)
         )
 
+    def zexpand(zblk, rows):
+        """(rows//2, N1//2, N2) -> (rows, N1, N2): expand coarse rows x2
+        (leading axis) and sublanes x2 (lanes were pre-duplicated by the
+        caller)."""
+        zr = jnp.broadcast_to(
+            zblk[:, None], (rows // 2, 2, N1 // 2, N2)
+        ).reshape(rows, N1 // 2, N2)
+        return jnp.broadcast_to(
+            zr[:, :, None], (rows, N1 // 2, 2, N2)
+        ).reshape(rows, N1, N2)
+
     @pl.when(i > 0)
     def _compute():
         # ---- assemble the pre-sweep x window rows jT-3 .. jT+T+2 ---------
+        # (with_z: xprev/tail_x already hold x = xpy_prev + P z — the
+        # deferred prolong-add happens ONCE per block at slide time, not
+        # per window; only the 3 lookahead rows add their z on the fly)
         xw[0] = tail_x[0]
         xw[1] = tail_x[1]
         xw[2] = tail_x[2]
         xw[pl.ds(3, T)] = xprev[:]
-        xw[T + 3] = x_ref[0]
-        xw[T + 4] = x_ref[jnp.minimum(1, T - 1)]
-        xw[T + 5] = x_ref[jnp.minimum(2, T - 1)]
-
         if with_z:
-            # ---- deferred prolong-add: x = xpy_prev + P z ----------------
-            # z window rows jT/2-2 .. jT/2+T/2+1 cover fine rows
-            # jT-4 .. jT+T+3; expand rows x2 (leading axis) and sublanes
-            # x2 (lanes were pre-duplicated by the caller), then add into
-            # the x window.  Out-of-range halo rows add garbage that the
-            # up/dn masks already exclude, exactly like xw's own tails.
-            zw[0] = tail_z[0]
-            zw[1] = tail_z[1]
-            zw[pl.ds(2, T // 2)] = zprev[:]
-            zw[T // 2 + 2] = z_ref[0]
-            zw[T // 2 + 3] = z_ref[jnp.minimum(1, T // 2 - 1)]
-            zv = zw[:]  # (T//2+4, N1//2, N2)
-            h = T // 2 + 4
-            zr = jnp.broadcast_to(
-                zv[:, None], (h, 2, N1 // 2, N2)
-            ).reshape(2 * h, N1 // 2, N2)
-            zf = jnp.broadcast_to(
-                zr[:, :, None], (2 * h, N1 // 2, 2, N2)
-            ).reshape(2 * h, N1, N2)
-            # zf row q = fine row jT-4+q; xw row l = fine row jT-3+l
-            xw[:] = xw[:] + zf[1 : T + 7]
+            zlead = zexpand(z_ref[pl.ds(0, 2)], 4)
+            xw[T + 3] = x_ref[0] + zlead[0]
+            xw[T + 4] = x_ref[jnp.minimum(1, T - 1)] + zlead[1]
+            xw[T + 5] = x_ref[jnp.minimum(2, T - 1)] + zlead[2]
+        else:
+            xw[T + 3] = x_ref[0]
+            xw[T + 4] = x_ref[jnp.minimum(1, T - 1)]
+            xw[T + 5] = x_ref[jnp.minimum(2, T - 1)]
 
         # ---- (A x) on rows jT-2 .. jT+T+1 (xw rows 1..W) -----------------
         parx, diagx, upx, dnx = geom(T + 6, -3)
@@ -566,18 +564,20 @@ def _kernel_chain(
         y0 = bt[:]
         upd3 = winv3 * (y0 - neigh_sum(y0, W, up3, dn3))
         bt[:] = jnp.where(par3 == (1 - color0), upd3, y0)
+        yfm = bt[:][1 : T + 3]  # row q = window row q+1 = jT-1+q
 
-        # ---- xpy = x + y0 (the fused chain-state add; xv rows 3..T+2
+        # ---- xpy = x + y (the fused chain-state add; xv rows 3..T+2
         # hold x = xpy_prev + P z when with_z) -----------------------------
-        yf = bt[:]
-        out = xv[3 : T + 3] + yf[2 : T + 2]
+        out = xv[3 : T + 3] + yfm[1 : T + 1]
         xpy_ref[:] = out
         if with_xsum:
             xsum_ref[:] = out.sum(axis=1, keepdims=True)
 
-        # ---- restricted residual of (r - A y0) ---------------------------
-        ay3 = (diag3 * yf + neigh_sum(yf, W, up3, dn3))[2 : T + 2]
-        r2 = bprev[:] - ax3[2 : T + 2] - ay3
+        # ---- restricted residual of (r - A y) on a (T+2)-row slab (the
+        # full-window pass wasted 2 rows nothing reads) --------------------
+        pary, diagy, upy, dny = geom(T + 2, -1)
+        ay = (diagy * yfm + neigh_sum(yfm, T + 2, upy, dny))[1 : T + 1]
+        r2 = bprev[:] - ax3[2 : T + 2] - ay
         for c in range(T // 2):  # static unroll (no dynamic value slice)
             rp = r2[2 * c] + r2[2 * c + 1]
             rq_ref[c] = rp.reshape(N1 // 2, 2, N2).sum(1)
@@ -593,9 +593,6 @@ def _kernel_chain(
         tail_b[1] = jnp.zeros((N1, N2), jnp.float32)
         xpy_ref[:] = x_ref[:]  # overwritten at step 1
         rq_ref[:] = jnp.zeros((T // 2, N1 // 2, N2), jnp.float32)
-        if with_z:
-            tail_z[0] = jnp.zeros((N1 // 2, N2), jnp.float32)
-            tail_z[1] = jnp.zeros((N1 // 2, N2), jnp.float32)
         if with_xsum:
             xsum_ref[:] = jnp.zeros((T, 1, N2), jnp.float32)
 
@@ -606,16 +603,16 @@ def _kernel_chain(
         tail_x[2] = xprev[T - 1]
         tail_b[0] = bprev[T - 2]
         tail_b[1] = bprev[T - 1]
-        if with_z:
-            tail_z[0] = zprev[T // 2 - 2]
-            tail_z[1] = zprev[T // 2 - 1]
 
     @pl.when(i < G)
     def _slide():
-        xprev[:] = x_ref[:]
-        bprev[:] = b_ref[:]
+        # with_z: the deferred prolong-add lands here, once per block —
+        # xprev (and the tails slid from it) hold x = xpy_prev + P z
         if with_z:
-            zprev[:] = z_ref[:]
+            xprev[:] = x_ref[:] + zexpand(z_ref[:], T)
+        else:
+            xprev[:] = x_ref[:]
+        bprev[:] = b_ref[:]
 
     if with_zsum:
         # z blocks are min(i, G-1): each block 0..G-1 appears exactly once
@@ -712,7 +709,8 @@ def fused_chain_down_fd(
         raise ValueError("with_zsum requires zx2")
     # VMEM planes: scratch 4T+15 + x/b/xpy blocks 6T + rq blocks T/2 +
     # whole-window value temporaries (ax3/upd3/ay3/r2/shifts ~ 6 windows);
-    # with_z adds the half-size z streams plus the zf expansion window
+    # with_z adds the half-size z input blocks and the per-block zexpand
+    # temporary (the prolong-add lands at slide time — no z window)
     T = _auto_tile(N0, N1 * N2 * 4, 19 if with_z else 17,
                    36 if with_z else 28, tile)
     if tile is None:
@@ -800,17 +798,11 @@ def fused_chain_down_fd(
     scratch_shapes = [
         pltpu.VMEM((T + 6, N1, N2), jnp.float32),  # xw
         pltpu.VMEM((T + 4, N1, N2), jnp.float32),  # bt (r~ -> y)
-        pltpu.VMEM((T, N1, N2), jnp.float32),  # xprev
+        pltpu.VMEM((T, N1, N2), jnp.float32),  # xprev (z-added when with_z)
         pltpu.VMEM((T, N1, N2), jnp.float32),  # bprev
         pltpu.VMEM((3, N1, N2), jnp.float32),  # tail_x
         pltpu.VMEM((2, N1, N2), jnp.float32),  # tail_b
     ]
-    if with_z:
-        scratch_shapes += [
-            pltpu.VMEM((T // 2 + 4, N1 // 2, N2), jnp.float32),  # zw
-            pltpu.VMEM((T // 2, N1 // 2, N2), jnp.float32),  # zprev
-            pltpu.VMEM((2, N1 // 2, N2), jnp.float32),  # tail_z
-        ]
     return pl.pallas_call(
         kern,
         grid=(G + 1,),
