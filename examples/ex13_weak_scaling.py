@@ -69,19 +69,86 @@ def run_config(n_dev: int, base: int, n_samples: int, kappa: float):
     )
 
 
+def run_mesh_config(n_dev: int, n_refine: int, n_samples: int, kappa: float):
+    """Unstructured weak scaling: ranks -> devices via CHAIN parallelism.
+
+    The reference's wrench ex13 grows the mesh with ranks under domain
+    decomposition; graph sweeps are gather-bound, so the TPU-native
+    scaling axis for meshes is independent chains (SURVEY §2.3 item 4 —
+    the reference runs chains serially).  One chain per device; reported
+    throughput is TOTAL ESS/sec across chains.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from parmgmc_tpu.models.mesh import (
+        matern_precision_mesh,
+        refine,
+        unit_square_mesh,
+    )
+    from parmgmc_tpu.operators.graph import from_csr
+
+    pts, cells = unit_square_mesh(9)
+    for _ in range(n_refine):
+        pts, cells = refine(pts, cells)
+    A = matern_precision_mesh(pts, cells, kappa)
+    op = from_csr(A, dtype=jnp.float32)
+    smp = MGMCSampler.create(op, coarsest_size=64)
+    b = jnp.zeros((op.n,), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), n_dev)
+    x0 = jnp.zeros((n_dev, op.n), jnp.float32)
+    if n_dev > 1:
+        mesh = make_mesh((n_dev,), axis_names=("chain",))
+        csh = NamedSharding(mesh, P("chain"))
+        keys = jax.device_put(keys, csh)
+        x0 = jax.device_put(x0, csh)
+
+    qoi = lambda x: jnp.mean(x)
+    run = jax.jit(
+        jax.vmap(
+            lambda s, st, bb: sample_chain(s, st, bb, n_samples, extract=qoi),
+            in_axes=(None, 0, None),
+        )
+    )
+    sts = jax.vmap(lambda k, x: ChainState(x=x, key=k))(keys, x0)
+    sts, q = run(smp, sts, b)
+    _ = float(jnp.sum(sts.x))
+    t0 = time.perf_counter()
+    sts, q = run(smp, sts, b)
+    q = np.asarray(q)
+    wall = time.perf_counter() - t0
+    tau, valid = iact(q[0])
+    tau = max(float(tau), 1.0)
+    tps = wall / n_samples * 1000
+    total_ess = n_dev / (tau * wall / n_samples)
+    print(
+        f"devices={n_dev:3d} chains={n_dev} dofs={op.n:>9,} "
+        f"time/sample={tps:8.2f} ms  IACT={tau:5.2f}{'' if valid else '*'} "
+        f"total ESS/sec={total_ess:8.1f}"
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--base", type=int, default=32, help="per-device block edge")
     ap.add_argument("--samples", type=int, default=64)
     ap.add_argument("--kappa", type=float, default=1.0)
+    ap.add_argument(
+        "--unstructured",
+        action="store_true",
+        help="mesh problem, chains-over-devices scaling (wrench-style)",
+    )
+    ap.add_argument("--refine", type=int, default=1, help="mesh refinements")
     args = ap.parse_args()
     avail = len(jax.devices())
     for nd in args.devices:
         if nd > avail:
             print(f"devices={nd}: skipped (only {avail} available)")
             continue
-        run_config(nd, args.base, args.samples, args.kappa)
+        if args.unstructured:
+            run_mesh_config(nd, args.refine, args.samples, args.kappa)
+        else:
+            run_config(nd, args.base, args.samples, args.kappa)
 
 
 if __name__ == "__main__":

@@ -178,3 +178,48 @@ def test_hogwild_frozen_halo_chain_statistics():
     # Hogwild mode is intentionally approximate across shards; the bias on
     # a diagonally-dominant problem is small (matches the reference's use).
     assert rel < 0.05, rel
+
+
+def test_mesh_chains_sharded_over_devices():
+    """Unstructured (mesh/graph) problems scale over devices by CHAIN
+    parallelism: vmapped chains with keys/states sharded over the
+    device mesh must equal the unsharded vmap exactly.  This is the
+    rebuild's wrench-weak-scaling story for meshes (reference ex13
+    ranks -> devices; domain decomposition serves structured grids,
+    chain data-parallelism serves graphs — SURVEY §2.3 item 4)."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from parmgmc_tpu.models.mesh import matern_precision_mesh, unit_square_mesh
+    from parmgmc_tpu.operators.graph import from_csr
+    from parmgmc_tpu.samplers.mgmc import MGMCSampler
+
+    pts, cells = unit_square_mesh(9)
+    A = matern_precision_mesh(pts, cells, 2.0)
+    op = from_csr(A, dtype=jnp.float32)
+    smp = MGMCSampler.create(op, coarsest_size=12)
+    b = jnp.zeros((op.n,), jnp.float32)
+    n_chains = 8
+    keys = jax.random.split(jax.random.PRNGKey(3), n_chains)
+    x0 = jnp.zeros((n_chains, op.n), jnp.float32)
+
+    def chain_step(smp, key, x, bb):
+        for _ in range(3):
+            key, x = smp.step(key, x, bb)
+        return key, x
+
+    step = jax.jit(jax.vmap(chain_step, in_axes=(None, 0, 0, None)))
+    k_ref, x_ref = step(smp, keys, x0, b)
+
+    mesh = make_mesh((8,), axis_names=("chain",))
+    csh = NamedSharding(mesh, P("chain"))
+    keys_sh = jax.device_put(keys, csh)
+    x0_sh = jax.device_put(x0, csh)
+    k_sh, x_sh = step(smp, keys_sh, x0_sh, b)
+    assert len(x_sh.sharding.device_set) == 8
+    # sharding retiles the dense coarse solve — identical chains up to
+    # f32 reduction-order rounding (measured 2.6e-7 relative)
+    err = float(
+        jnp.abs(x_ref - x_sh).max() / jnp.abs(x_ref).max()
+    )
+    assert err < 1e-5, err
