@@ -1,0 +1,190 @@
+"""Per-stage wall-clock breakdown of the flagship MGMC chain step.
+
+Times each stage of the deferred-prolong agg-V(1,0) cycle separately
+(scans of the stage alone, axon-fenced), so regressions and remaining
+headroom are attributable.  Stages:
+
+  full      : sample_chain_deferred step (the bench.py number)
+  chain     : level-0 chain kernel alone (with zx2 + sums)
+  l1        : level-1 fused down kernel alone (no glue)
+  glue_rc   : the rq -> rc lane pair-sum XLA pass at level 0
+  glue_zx2  : the z1 -> zx2 broadcast XLA pass
+  tail      : everything below level 1 (_cycle_keyed at l=2), incl. the
+              fused coarse tail, dense coarse sample and up adds
+  up1       : level-1 up add y1 + P z2
+
+Usage: [PROF_N=512] [PROF_STEPS=256] python examples/profile_cycle.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+N = int(os.environ.get("PROF_N", "512"))
+STEPS = int(os.environ.get("PROF_STEPS", "256"))
+
+
+def force(v):
+    return float(jnp.sum(v))
+
+
+def timed(fn, *args):
+    out = fn(*args)
+    jax.tree_util.tree_map(
+        lambda a: force(a) if hasattr(a, "shape") else a, out
+    )
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.tree_util.tree_map(
+        lambda a: force(a) if hasattr(a, "shape") else a, out
+    )
+    return (time.perf_counter() - t0) / STEPS
+
+
+def main():
+    from parmgmc_tpu.chain import ChainState, sample_chain_deferred
+    from parmgmc_tpu.models.problems import gmrf_3d
+    from parmgmc_tpu.samplers.mgmc import MGMCSampler
+
+    op = gmrf_3d(N, kappa=1.0, dtype=jnp.float32)
+    smp = MGMCSampler.create(
+        op, n_pre=1, n_post=0, coarsest_size=128, coarsening="aggregate"
+    )
+    b = jnp.zeros(op.grid_shape, jnp.float32)
+    assert smp.deferred_eligible()
+    n0, n1, n2 = op.grid_shape
+
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros(op.grid_shape, jnp.float32)
+    zx2_0 = smp.deferred_init(jnp.float32)
+
+    # -- full step ---------------------------------------------------------
+    @jax.jit
+    def run_full(smp, st, bb):
+        return sample_chain_deferred(smp, st, bb, STEPS)
+
+    st = ChainState(x=x0, key=key)
+    dt_full = timed(lambda: run_full(smp, st, b))
+
+    # -- chain kernel alone (carry xpy; zx2 fixed) ---------------------------
+    @jax.jit
+    def run_chain(smp, x, z, bb):
+        def body(c, i):
+            xpy, acc = c
+            k = jax.random.fold_in(key, i)
+            xpy2, rc, _, xs, zs = smp._fused_chain_down(
+                xpy, bb, k, zx2=z, with_xsum=True, with_zsum=True
+            )
+            return (
+                xpy2,
+                acc + jnp.sum(rc[0, 0]) + jnp.sum(xs) + jnp.sum(zs),
+            ), 0.0
+
+        (xpy, acc), _ = jax.lax.scan(
+            body, (x, 0.0), jnp.arange(STEPS, dtype=jnp.int32)
+        )
+        return xpy, acc
+
+    dt_chain = timed(lambda: run_chain(smp, x0, zx2_0, b))
+
+    # -- level-1 down kernel alone ------------------------------------------
+    rc0 = jnp.zeros((n0 // 2, n1 // 2, n2 // 2), jnp.float32)
+
+    @jax.jit
+    def run_l1(smp, r):
+        def body(c, i):
+            k = jax.random.fold_in(key, i)
+            y, rcc, _ = smp._fused_down(1, c, k)
+            return rcc.repeat(2, 0).repeat(2, 1).repeat(2, 2) + y * 0.01, 0.0
+
+        r, _ = jax.lax.scan(body, r, jnp.arange(STEPS, dtype=jnp.int32))
+        return r
+
+    dt_l1 = timed(lambda: run_l1(smp, rc0)) if smp.n_levels > 2 else 0.0
+
+    # -- glue: rq pair-sum and zx2 broadcast ---------------------------------
+    rq0 = jnp.zeros((n0 // 2, n1 // 2, n2), jnp.float32)
+
+    @jax.jit
+    def run_rc(rq):
+        def body(c, _):
+            rc = c.reshape(n0 // 2, n1 // 2, n2 // 2, 2).sum(-1)
+            return rc.repeat(2, 2) * 0.5, 0.0
+
+        rq, _ = jax.lax.scan(body, rq, None, length=STEPS)
+        return rq
+
+    dt_rc = timed(lambda: run_rc(rq0))
+
+    z1_0 = jnp.zeros((n0 // 2, n1 // 2, n2 // 2), jnp.float32)
+
+    @jax.jit
+    def run_zx2(z1):
+        def body(c, _):
+            zx2 = jnp.broadcast_to(c[..., None], (*c.shape, 2)).reshape(
+                n0 // 2, n1 // 2, n2
+            )
+            return zx2[..., ::2] * 0.5, 0.0
+
+        z1, _ = jax.lax.scan(body, z1, None, length=STEPS)
+        return z1
+
+    dt_zx2 = timed(lambda: run_zx2(z1_0))
+
+    # -- tail: everything below level 1 --------------------------------------
+    if smp.n_levels > 2:
+        r2 = jnp.zeros(tuple(smp.ops[2].grid_shape), jnp.float32)
+
+        @jax.jit
+        def run_tail(smp, r):
+            def body(c, i):
+                k = jax.random.fold_in(key, i)
+                z = smp._cycle_keyed(2, c, k)
+                return z, 0.0
+
+            r, _ = jax.lax.scan(body, r, jnp.arange(STEPS, dtype=jnp.int32))
+            return r
+
+        dt_tail = timed(lambda: run_tail(smp, r2))
+    else:
+        dt_tail = 0.0
+
+    # -- level-1 up add -------------------------------------------------------
+    y1 = jnp.zeros((n0 // 2, n1 // 2, n2 // 2), jnp.float32)
+    z2 = jnp.zeros(tuple(smp.ops[2].grid_shape), jnp.float32)
+
+    @jax.jit
+    def run_up1(y, z):
+        def body(c, _):
+            out = y + smp.transfers[1].prolong(z + c)
+            return jnp.sum(out[0, 0]) * 1e-30, 0.0
+
+        acc, _ = jax.lax.scan(body, 0.0, None, length=STEPS)
+        return acc
+
+    dt_up1 = timed(lambda: run_up1(y1, z2)) if smp.n_levels > 2 else 0.0
+
+    stages = {
+        "full": dt_full,
+        "chain": dt_chain,
+        "l1": dt_l1,
+        "glue_rc": dt_rc,
+        "glue_zx2": dt_zx2,
+        "tail(l2+)": dt_tail,
+        "up1": dt_up1,
+    }
+    print(f"\n{N}^3 agg-V(1,0) deferred chain, {STEPS}-step scans:")
+    for k, v in stages.items():
+        print(f"  {k:10s} {v * 1e3:8.3f} ms/step")
+    acc = sum(v for k, v in stages.items() if k != "full")
+    print(f"  {'sum':10s} {acc * 1e3:8.3f} ms/step (vs full: "
+          f"{dt_full * 1e3:.3f})")
+
+
+if __name__ == "__main__":
+    main()
