@@ -78,7 +78,7 @@ def main():
             xpy, acc = c
             k = jax.random.fold_in(key, i)
             xpy2, rc, _, xs, zs = smp._fused_chain_down(
-                xpy, bb, k, zx2=z, with_xsum=True, with_zsum=True
+                xpy, bb, k, z=z, with_xsum=True, with_zsum=True
             )
             return (
                 xpy2,
@@ -122,14 +122,20 @@ def main():
     dt_rc = timed(lambda: run_rc(rq0))
 
     z1_0 = jnp.zeros((n0 // 2, n1 // 2, n2 // 2), jnp.float32)
+    layout = smp.deferred_layout()
 
     @jax.jit
     def run_zx2(z1):
         def body(c, _):
-            zx2 = jnp.broadcast_to(c[..., None], (*c.shape, 2)).reshape(
+            if layout == "zf":
+                zn = jnp.broadcast_to(
+                    c[:, :, None, :, None], (n0 // 2, n1 // 2, 2, n2 // 2, 2)
+                ).reshape(n0 // 2, n1, n2)
+                return zn[:, ::2, ::2] * 0.5, 0.0
+            zn = jnp.broadcast_to(c[..., None], (*c.shape, 2)).reshape(
                 n0 // 2, n1 // 2, n2
             )
-            return zx2[..., ::2] * 0.5, 0.0
+            return zn[..., ::2] * 0.5, 0.0
 
         z1, _ = jax.lax.scan(body, z1, None, length=STEPS)
         return z1

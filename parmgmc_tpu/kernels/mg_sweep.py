@@ -833,21 +833,54 @@ def fused_chain_down_fd(
 def _kernel_chain_2d(
     fscal_ref,  # SMEM (10,) f32: omega, c0lo..c2hi, noise_mult, kappa2, hinv2
     iscal_ref,  # SMEM (4,) i32: seed, color0, step, row_off
-    x_hbm,  # ANY (N0, N1, N2)
-    b_hbm,  # ANY
-    xpy_ref,  # VMEM (T0, T1, N2) out block
-    rq_ref,  # VMEM (T0//2, T1//2, N2) out block
-    xw,  # scratch (2, W0, W1, N2): x window slots
-    bw,  # scratch (2, W0, W1, N2): b window slots, then r2 = r - A y
-    rt,  # scratch (W0, W1, N2): r~ window, swept IN PLACE to y
-    sem,  # DMA semaphores (2, 2)
-    *,
+    *refs,
     T0: int,
     T1: int,
     shape: tuple,
     with_noise: bool,
     n0_global: int,
+    with_z: bool = False,
+    with_xsum: bool = False,
+    with_zsum: bool = False,
 ):
+    """Ref layout (after the two SMEM scalars), in pallas_call order:
+
+    inputs   x_hbm, b_hbm      ANY (N0, N1, N2)
+             [z_hbm]           ANY (N0//2, N1, N2): the previous step's
+                               coarse correction in ``zf`` layout —
+                               leading axis compressed ONLY.  Sublanes
+                               and lanes stay at fine resolution because
+                               Mosaic can neither lane-duplicate values
+                               nor DMA sublane windows at the 4-mod-8
+                               starts a (N1//2)-dim layout would need
+                               (probe_lane_dup.py, BENCH_NOTES).
+    outputs  xpy_ref           VMEM (T0, T1, N2) block (i0, i1, 0)
+             rq_ref            VMEM (T0//2, T1//2, N2) block
+             [xsum_ref]        VMEM (T0, 1, N2) block (i0, 0, 0): xpy
+                               summed over axis 1, accumulated over i1
+             [zsum_ref]        VMEM (1, 1, N2) block (0, 0, 0): sums of
+                               the z_hbm tile regions (each z point
+                               once), accumulated over every tile
+    scratch  xw, bw            (2, W0, W1, N2) double-buffered windows
+             rt                (W0, W1, N2)
+             [zw]              (2, W0//2, W1, N2) z window slots
+             sem               DMA semaphores (3 if with_z else 2, 2)
+    """
+    k = 2
+    x_hbm, b_hbm = refs[0], refs[1]
+    z_hbm = refs[k] if with_z else None
+    k += 1 if with_z else 0
+    xpy_ref, rq_ref = refs[k], refs[k + 1]
+    k += 2
+    xsum_ref = refs[k] if with_xsum else None
+    k += 1 if with_xsum else 0
+    zsum_ref = refs[k] if with_zsum else None
+    k += 1 if with_zsum else 0
+    if with_z:
+        xw, bw, rt, zw, sem = refs[k : k + 5]
+    else:
+        xw, bw, rt, sem = refs[k : k + 4]
+        zw = None
     N0, N1, N2 = shape
     N0G = n0_global
     H0 = 4
@@ -869,7 +902,7 @@ def _kernel_chain_2d(
 
     def copies(tt, sl):
         s0t, s1t = tile_start(tt)
-        return [
+        cps = [
             pltpu.make_async_copy(
                 x_hbm.at[pl.ds(s0t, W0), pl.ds(s1t, W1)],
                 xw.at[sl],
@@ -881,6 +914,18 @@ def _kernel_chain_2d(
                 sem.at[1, sl],
             ),
         ]
+        if with_z:
+            # z rows at half resolution: rows [s0t//2, s0t//2 + W0//2)
+            # cover fine rows [s0t, s0t + W0); the sublane range is the
+            # x window's (8-aligned starts by construction)
+            cps.append(
+                pltpu.make_async_copy(
+                    z_hbm.at[pl.ds(s0t // 2, W0 // 2), pl.ds(s1t, W1)],
+                    zw.at[sl],
+                    sem.at[2, sl],
+                )
+            )
+        return cps
 
     # Double-buffered windows (see kernels.rb_gibbs._kernel_2d): tile
     # t+1's DMA overlaps tile t's compute.
@@ -897,6 +942,20 @@ def _kernel_chain_2d(
     for c in copies(t, slot):
         c.wait()
     s0, s1 = tile_start(t)
+
+    if with_z:
+        # Deferred prolong-add: x = x_in + P z lands in the window once,
+        # right after the DMA — everything downstream (A x, the xpy
+        # output add) reads the true chain state.  Expansion is a
+        # leading-axis repeat only (zf layout), done in row-pair slabs
+        # so the broadcast temp is (2, W1, N2) instead of a full window
+        # (whole-window RHS blew the scoped-VMEM budget at 768^3: the
+        # compiler keeps the expanded value AND the add result live).
+        for m in range(W0 // 2):
+            zrow = zw[slot, m]
+            xw[slot, pl.ds(2 * m, 2)] = xw[
+                slot, pl.ds(2 * m, 2)
+            ] + jnp.broadcast_to(zrow[None], (2, W1, N2))
 
     omega = fscal_ref[0]
     noise_mult = fscal_ref[7]
@@ -1003,10 +1062,38 @@ def _kernel_chain_2d(
     base0 = pl.multiple_of(i0 * T0 - s0, 2)
     base1 = pl.multiple_of(i1 * T1 - s1, _JB2)
     yf = rt[:]
-    xpy_ref[:] = (
+    out = (
         xw[slot, pl.ds(base0, T0), pl.ds(base1, T1)]
         + rt[pl.ds(base0, T0), pl.ds(base1, T1)]
     )
+    xpy_ref[:] = out
+
+    if with_xsum:
+        # (i0, 0, 0) block revisited across i1: accumulate axis-1 sums
+        psum = out.sum(axis=1, keepdims=True)
+
+        @pl.when(i1 == 0)
+        def _xsum_init():
+            xsum_ref[:] = psum
+
+        @pl.when(i1 > 0)
+        def _xsum_acc():
+            xsum_ref[:] = xsum_ref[:] + psum
+
+    if with_zsum:
+        # each tile sums ITS z region (tile regions partition z_hbm);
+        # the (0,0,0) block accumulates across every grid step
+        zpart = zw[
+            slot, pl.ds(base0 // 2, T0 // 2), pl.ds(base1, T1)
+        ].sum(axis=(0, 1), keepdims=True)
+
+        @pl.when(t == 0)
+        def _zsum_init():
+            zsum_ref[:] = zpart
+
+        @pl.when(t > 0)
+        def _zsum_acc():
+            zsum_ref[:] = zsum_ref[:] + zpart
 
     # r2 = (b - A x) - A y, written back into bw so the tile slice is a
     # ref read (Mosaic has no dynamic_slice on values)
@@ -1020,7 +1107,10 @@ def _kernel_chain_2d(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sweep", "tile2d", "interpret", "with_noise", "n0_global"),
+    static_argnames=(
+        "sweep", "tile2d", "interpret", "with_noise", "n0_global",
+        "with_xsum", "with_zsum",
+    ),
 )
 def fused_chain_down_2d(
     x,
@@ -1038,10 +1128,25 @@ def fused_chain_down_2d(
     with_noise: bool = True,
     row_offset=0,  # global row of array row 0 (traced; shard_map use)
     n0_global: "int | None" = None,
+    zf=None,  # (N0//2, N1, N2) leading-compressed coarse correction
+    with_xsum: bool = False,
+    with_zsum: bool = False,
 ):
-    """(xpy, rq): 2D-tiled fused chain-level MGMC down-phase — the
-    large-plane counterpart of :func:`fused_chain_down_fd` (same outputs,
-    ``rc = rq.reshape(n0/2, n1/2, n2/2, 2).sum(-1)``)."""
+    """(xpy, rq[, xsum][, zsum]): 2D-tiled fused chain-level MGMC
+    down-phase — the large-plane counterpart of
+    :func:`fused_chain_down_fd` (same outputs,
+    ``rc = rq.reshape(n0/2, n1/2, n2/2, 2).sum(-1)``).
+
+    ``zf`` defers the previous cycle's fine prolong-add into this kernel
+    like the whole-plane kernel's ``zx2``, but in the ``zf`` layout:
+    ``zf[m, j, k] = z[m, j // 2, k // 2]`` — ONLY the leading axis is
+    compressed.  Mosaic can neither lane-duplicate values nor DMA the
+    4-mod-8 sublane starts a half-resolution in-plane layout would need
+    (BENCH_NOTES "Mosaic probes"), so in-plane expansion happens at
+    PRODUCTION time (one XLA broadcast) and the kernel only repeats the
+    leading axis.  ``xsum`` is xpy summed over axis 1 (shape
+    (N0, 1, N2)); ``zsum`` is the (1, 1, N2) sum over the zf input
+    (``sum(P0 z) = 2 * sum(zf)``)."""
     from parmgmc_tpu.kernels.rb_gibbs import _tile2d_auto
 
     N0, N1, N2 = x.shape
@@ -1049,9 +1154,22 @@ def fused_chain_down_2d(
         n0_global = N0
     if N0 % 2 or N1 % 2 or N2 % 2:
         raise ValueError("restriction needs even dims")
+    with_z = zf is not None
+    if with_zsum and not with_z:
+        raise ValueError("with_zsum requires zf")
+    if with_z and zf.shape != (N0 // 2, N1, N2):
+        raise ValueError(f"zf must be {(N0 // 2, N1, N2)}, got {zf.shape}")
     H0 = 4
-    # x/b windows are double-buffered (2 slots each) + the rt window
-    T0, T1 = _tile2d_auto(N0, N1, N2, streams=5, requested=tile2d, h0=2 * H0)
+    # x/b windows are double-buffered (2 slots each) + the rt window;
+    # the two zf window slots are half-height, so they count as one.
+    # streams=10 for with_z is MEASURED, not counted: at 768^3 the
+    # compiler reports ~15.4 window-equivalents of scoped VMEM on the
+    # zf path (126.5M at a (16,96) tile vs the 124M limit) — ~3.4
+    # windows of temporaries beyond the non-z calibration, independent
+    # of how the prolong-add is chunked.
+    T0, T1 = _tile2d_auto(
+        N0, N1, N2, streams=10 if with_z else 5, requested=tile2d, h0=2 * H0
+    )
     W0, W1 = T0 + 2 * H0, min(T1 + 2 * _JB2, N1)
     if N0 % T0 or T0 % 2 or N0 < W0:
         raise ValueError(f"bad axis-0 tile {T0} for {N0}")
@@ -1082,33 +1200,62 @@ def fused_chain_down_2d(
         shape=(N0, N1, N2),
         with_noise=with_noise,
         n0_global=n0_global,
+        with_z=with_z,
+        with_xsum=with_xsum,
+        with_zsum=with_zsum,
     )
     win2 = pltpu.VMEM((2, W0, W1, N2), jnp.float32)
     win = pltpu.VMEM((W0, W1, N2), jnp.float32)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    return pl.pallas_call(
+    in_specs = [smem, smem, any_spec, any_spec]
+    args = [fscal, iscal, x, b]
+    if with_z:
+        in_specs.append(any_spec)
+        args.append(zf)
+    out_specs = [
+        pl.BlockSpec(
+            (T0, T1, N2), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (T0 // 2, T1 // 2, N2),
+            lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32),
+        jax.ShapeDtypeStruct((N0 // 2, N1 // 2, N2), jnp.float32),
+    ]
+    if with_xsum:
+        out_specs.append(
+            pl.BlockSpec(
+                (T0, 1, N2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((N0, 1, N2), jnp.float32))
+    if with_zsum:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, N2), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((1, 1, N2), jnp.float32))
+    scratch = [win2, win2, win]
+    if with_z:
+        scratch.append(pltpu.VMEM((2, W0 // 2, W1, N2), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((3 if with_z else 2, 2)))
+    out = pl.pallas_call(
         kern,
         grid=(N0 // T0, N1 // T1),
-        in_specs=[smem, smem, any_spec, any_spec],
-        out_specs=[
-            pl.BlockSpec(
-                (T0, T1, N2), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (T0 // 2, T1 // 2, N2),
-                lambda i, j: (i, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32),
-            jax.ShapeDtypeStruct((N0 // 2, N1 // 2, N2), jnp.float32),
-        ],
-        scratch_shapes=[win2, win2, win, pltpu.SemaphoreType.DMA((2, 2))],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=_compiler_params(),
-    )(fscal, iscal, x, b)
+    )(*args)
+    return tuple(out)
 
 
 def chain_down_2d_supported(shape) -> bool:

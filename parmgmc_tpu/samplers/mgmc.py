@@ -294,8 +294,28 @@ class MGMCSampler:
         rc = rq.reshape(n0 // 2, n1 // 2, n2 // 2, 2).sum(-1)
         return y, rc, key
 
+    def _chain_level0_2d(self) -> bool:
+        """Should level 0's chain kernel run the 2D-TILED variant?  ONLY
+        past the whole-plane VMEM window.  Routing 512^3 (whole-plane
+        T=4) through the 2D tiles was measured and REJECTED: the
+        whole-plane kernel's block pipeline fetches every HBM byte once
+        (window amplification is VPU-side only), while the 2D windows
+        re-fetch halo bytes from HBM (DMA amp 1.69x) — chain 11.57 ->
+        12.89 ms, and the zf production broadcast costs 2.3 ms vs zx2's
+        0.65 (BENCH_NOTES "512^3 per-stage breakdown", 2026-08-18).
+        step and step_deferred must agree on this routing (the two
+        kernels key their on-chip noise differently), so it depends only
+        on the grid shape."""
+        from parmgmc_tpu.kernels.mg_sweep import chain_down_2d_supported
+        from parmgmc_tpu.kernels.rb_gibbs import _PLANE_LIMIT
+
+        gs = self.grid_shape
+        if len(gs) != 3 or gs[0] % 4 or not chain_down_2d_supported(gs):
+            return False
+        return gs[1] * gs[2] > _PLANE_LIMIT
+
     def _fused_chain_down(
-        self, x, b, key, zx2=None, with_xsum=False, with_zsum=False
+        self, x, b, key, z=None, with_xsum=False, with_zsum=False
     ):
         """(xpy, rc, key, *extras): fused chain down-phase at level 0.
 
@@ -303,32 +323,50 @@ class MGMCSampler:
         xpy = x + y0 (pre-smooth of r = b - A x from zero) plus the
         restricted residual — the residual program and the final
         three-array add both disappear (kernels.mg_sweep _kernel_chain).
-        The deferred-chain kwargs (zx2/with_xsum/with_zsum) pass through
-        to the kernel; extras = the kernel's optional xsum/zsum outputs.
-        This is the ONLY place the chain kernel's key consumption is
-        derived — step and step_deferred both route through it, which is
-        what keeps their sample sequences bit-identical.
+        ``z`` is the deferred coarse correction in the layout
+        :meth:`deferred_layout` names (zx2 for the whole-plane kernel,
+        zf for the 2D-tiled one); extras = the kernel's optional
+        xsum/zsum outputs.  This is the ONLY place the chain kernel's
+        key consumption is derived — step and step_deferred both route
+        through it, which is what keeps their sample sequences
+        bit-identical.
         """
-        from parmgmc_tpu.kernels.mg_sweep import fused_chain_down_fd
+        from parmgmc_tpu.kernels.mg_sweep import (
+            fused_chain_down_2d,
+            fused_chain_down_fd,
+        )
 
         s = self.smoothers[0]
         key, k1, k2 = jax.random.split(key, 3)
         seed = jax.random.randint(k1, (), 0, 2**31 - 1, dtype=jnp.int32)
         step = jax.random.randint(k2, (), 0, 2**31 - 1, dtype=jnp.int32)
-        out = fused_chain_down_fd(
-            x,
-            b,
-            s._coeff6(),
-            s.fd_params[0],
-            s.fd_params[1],
-            s.omega.astype(jnp.float32),
-            seed,
-            step,
-            sweep=s.sweep,
-            zx2=zx2,
-            with_xsum=with_xsum,
-            with_zsum=with_zsum,
-        )
+        common = dict(sweep=s.sweep, with_xsum=with_xsum, with_zsum=with_zsum)
+        if self._chain_level0_2d():
+            out = fused_chain_down_2d(
+                x,
+                b,
+                s._coeff6(),
+                s.fd_params[0],
+                s.fd_params[1],
+                s.omega.astype(jnp.float32),
+                seed,
+                step,
+                zf=z,
+                **common,
+            )
+        else:
+            out = fused_chain_down_fd(
+                x,
+                b,
+                s._coeff6(),
+                s.fd_params[0],
+                s.fd_params[1],
+                s.omega.astype(jnp.float32),
+                seed,
+                step,
+                zx2=z,
+                **common,
+            )
         xpy, rq = out[0], out[1]
         n0, n1, n2 = x.shape
         rc = rq.reshape(n0 // 2, n1 // 2, n2 // 2, 2).sum(-1)
@@ -464,72 +502,103 @@ class MGMCSampler:
     # -- deferred-prolong chain (lazy fine state) ---------------------------
     def deferred_eligible(self) -> bool:
         """Can the chain run with the fine prolong-add DEFERRED into the
-        next step's kernel?  Requires the whole-plane chain-kernel path
-        (3D, fused FD, aggregation transfer, N0 % 4, plane within the
-        VMEM window)."""
+        next step's kernel?  Requires a chain-kernel path at level 0
+        (3D, fused FD, aggregation transfer, N0 % 4): the whole-plane
+        kernel within its VMEM window, or the 2D-tiled one beyond it
+        (both consume a lazy coarse correction — zx2 and zf layouts)."""
         from parmgmc_tpu.kernels.rb_gibbs import _PLANE_LIMIT
 
         gs = self.grid_shape
-        return (
-            len(gs) == 3
-            and self._down_fused_eligible(0)
-            and gs[0] % 4 == 0
-            and gs[1] * gs[2] <= _PLANE_LIMIT
-        )
+        if (
+            len(gs) != 3
+            or not self._down_fused_eligible(0)
+            or gs[0] % 4
+        ):
+            return False
+        return gs[1] * gs[2] <= _PLANE_LIMIT or self._chain_level0_2d()
+
+    def deferred_layout(self) -> str:
+        """Layout of the lazy coarse-correction carry: ``"zx2"`` (lanes
+        pre-duplicated, consumed by the whole-plane kernel) or ``"zf"``
+        (sublanes AND lanes at fine resolution, leading axis compressed —
+        the only layout the 2D-tiled kernel can window, see
+        ``fused_chain_down_2d``)."""
+        return "zf" if self._chain_level0_2d() else "zx2"
 
     def step_deferred(self, key, xpy, zx2, b):
-        """(key, xpy', zx2', sum_xpy', zprev_sum): lazy chain step.
+        """(key, xpy', z', sum_xpy', zprev_sum): lazy chain step.
 
-        The pair (xpy, zx2) represents the sample x = xpy + P0 z without
+        The pair (xpy, z) represents the sample x = xpy + P0 z without
         materialising it: the add is deferred into the next step's chain
-        kernel (``fused_chain_down_fd(zx2=...)``), saving ~1.6 fine-grid
-        HBM passes per cycle vs :meth:`step`.  ``zx2`` carries the coarse
-        correction z with LANES PRE-DUPLICATED (``zx2[..., k] =
-        z[..., k // 2]``) — the layout the kernel consumes — and is
-        produced in that form directly (the lane broadcast fuses into the
+        kernel, saving ~1.6 fine-grid HBM passes per cycle vs
+        :meth:`step`.  The carry rides in :meth:`deferred_layout` form —
+        ``zx2`` (lanes pre-duplicated, ``zx2[..., k] = z[..., k // 2]``;
+        whole-plane kernel) or ``zf`` (leading axis compressed only,
+        ``zf[m, j, k] = z[m, j // 2, k // 2]``; 2D-tiled kernel) — and
+        is produced in that form directly (the broadcast fuses into the
         up-phase add, so no separate duplication pass runs).
         Bit-identical samples to :meth:`step` under the same key (the
         kernel performs the same adds in the same order).
 
         QOI plumbing: ``sum_xpy'`` is the sum of this step's xpy'
-        (kernel row sums); ``zprev_sum`` is ``4 * sum(zx2)`` — the
-        ``P0 z`` part of the PREVIOUS sample's global sum, accumulated by
-        the kernel while it streams zx2, so the chain driver recovers
-        ``sum(x_t) = sum_xpy'_t + zprev_sum_{t+1}`` one step late and
-        never re-reads the fine grid or zx2.  Start from zx2 = zeros;
+        (kernel row sums); ``zprev_sum`` is the ``P0 z`` part of the
+        PREVIOUS sample's global sum (a layout-dependent multiple of the
+        kernel's zsum output), accumulated while the kernel streams the
+        carry, so the chain driver recovers ``sum(x_t) = sum_xpy'_t +
+        zprev_sum_{t+1}`` one step late and never re-reads the fine grid
+        or the carry.  Start from a zero carry (:meth:`deferred_init`);
         materialise the final state with :meth:`materialize_deferred`.
         """
         key, sub = jax.random.split(key)
         xpy2, rc, sub, xsum, zsum = self._fused_chain_down(
-            xpy, b, sub, zx2=zx2, with_xsum=True, with_zsum=True
+            xpy, b, sub, z=zx2, with_xsum=True, with_zsum=True
         )
         n0, n1, n2 = self.grid_shape
         sub, sub2 = jax.random.split(sub)
         z1 = self._cycle_keyed(1, rc, sub2)
-        zx2n = jnp.broadcast_to(z1[..., None], (*z1.shape, 2)).reshape(
-            n0 // 2, n1 // 2, n2
-        )
-        return key, xpy2, zx2n, jnp.sum(xsum), 4.0 * jnp.sum(zsum)
+        if self.deferred_layout() == "zf":
+            # zf[m, j, k] = z1[m, j//2, k//2]: in-plane expansion happens
+            # here (one XLA broadcast) — the 2D kernel repeats rows only
+            zn = jnp.broadcast_to(
+                z1[:, :, None, :, None],
+                (n0 // 2, n1 // 2, 2, n2 // 2, 2),
+            ).reshape(n0 // 2, n1, n2)
+            zw = 2.0  # sum(P0 z) = 2 sum(zf)
+        else:
+            zn = jnp.broadcast_to(z1[..., None], (*z1.shape, 2)).reshape(
+                n0 // 2, n1 // 2, n2
+            )
+            zw = 4.0  # sum(P0 z) = 4 sum(zx2)
+        return key, xpy2, zn, jnp.sum(xsum), zw * jnp.sum(zsum)
 
     def deferred_init(self, dtype):
-        """Zero lazy carry: the lane-duplicated coarse correction zx2."""
+        """Zero lazy carry in this sampler's :meth:`deferred_layout`."""
         n0, n1, n2 = self.grid_shape
+        if self.deferred_layout() == "zf":
+            return jnp.zeros((n0 // 2, n1, n2), dtype)
         return jnp.zeros((n0 // 2, n1 // 2, n2), dtype)
 
-    def deferred_final_sum(self, zx2):
+    def deferred_final_sum(self, z):
         """sum(P0 z) for a lazy carry: the kernel's zsum covers this one
-        step late, so the LAST sample's z part is reduced here (4 = the
-        two axes P still duplicates; lanes are already duplicated)."""
-        return 4.0 * jnp.sum(zx2)
+        step late, so the LAST sample's z part is reduced here (the
+        factor counts the axes P still duplicates beyond the carry's
+        own pre-duplication)."""
+        zw = 2.0 if self.deferred_layout() == "zf" else 4.0
+        return zw * jnp.sum(z)
 
-    def materialize_deferred(self, xpy, zx2):
-        """The sample the lazy pair represents: xpy + P0 z, where zx2 is
-        the lane-duplicated z (expand the remaining two axes and add)."""
+    def materialize_deferred(self, xpy, z):
+        """The sample the lazy pair represents: xpy + P0 z (expand the
+        axes the carry layout leaves compressed and add)."""
         n0, n1, n2 = self.grid_shape
-        zf = jnp.broadcast_to(
-            zx2[:, None, :, None, :], (n0 // 2, 2, n1 // 2, 2, n2)
-        ).reshape(n0, n1, n2)
-        return xpy + zf
+        if self.deferred_layout() == "zf":
+            zfull = jnp.broadcast_to(
+                z[:, None], (n0 // 2, 2, n1, n2)
+            ).reshape(n0, n1, n2)
+        else:
+            zfull = jnp.broadcast_to(
+                z[:, None, :, None, :], (n0 // 2, 2, n1 // 2, 2, n2)
+            ).reshape(n0, n1, n2)
+        return xpy + zfull
 
     def fmg_init(self, key, b, n_cycles: int = 1):
         """(key, x0): full-multigrid (FMG) cold start.

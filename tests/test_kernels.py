@@ -306,6 +306,87 @@ def test_fused_chain_down_deferred_z():
     assert float(jnp.abs(zsum[0, 0, :] - want_zsum).max()) < 1e-4
 
 
+def test_fused_chain_down_2d_deferred_z():
+    """2D-tiled deferred prolong-add: the kernel given (xpy, zf) must be
+    bit-identical to materialising x = xpy + P z first, and the optional
+    xsum/zsum outputs must match direct sums (the zf layout keeps
+    sublanes and lanes at fine resolution — kernels.mg_sweep
+    fused_chain_down_2d, BENCH_NOTES 'Mosaic probes')."""
+    from parmgmc_tpu.kernels.mg_sweep import fused_chain_down_2d
+    from parmgmc_tpu.operators.transfer import AggregateTransfer
+
+    shape = (16, 32, 128)
+    key = jax.random.PRNGKey(7)
+    xpy_prev = jax.random.normal(key, shape, jnp.float32)
+    b = jax.random.normal(jax.random.fold_in(key, 1), shape, jnp.float32)
+    z = jax.random.normal(
+        jax.random.fold_in(key, 2),
+        (shape[0] // 2, shape[1] // 2, shape[2] // 2),
+        jnp.float32,
+    )
+    hinv2 = float((shape[0] - 1) ** 2)
+    coeffs = jnp.full((6,), -hinv2, jnp.float32)
+
+    for tile2d in ((4, 8), (8, 16)):
+        kw = dict(
+            sweep="forward", tile2d=tile2d, interpret=True, with_noise=False
+        )
+        tr = AggregateTransfer(fine_shape=shape)
+        x = xpy_prev + tr.prolong(z)
+        xpy_a, rq_a = fused_chain_down_2d(
+            x, b, coeffs, 1.0, hinv2, 1.0, 3, 5, **kw
+        )
+
+        zf = jnp.broadcast_to(
+            z[:, :, None, :, None],
+            (shape[0] // 2, shape[1] // 2, 2, shape[2] // 2, 2),
+        ).reshape(shape[0] // 2, shape[1], shape[2])
+        xpy_b, rq_b, xsum, zsum = fused_chain_down_2d(
+            xpy_prev, b, coeffs, 1.0, hinv2, 1.0, 3, 5,
+            zf=zf, with_xsum=True, with_zsum=True, **kw,
+        )
+        assert bool(jnp.all(xpy_a == xpy_b)), tile2d
+        assert bool(jnp.all(rq_a == rq_b)), tile2d
+        assert float(jnp.abs(xsum[:, 0, :] - xpy_b.sum(1)).max()) < 1e-4
+        want_zsum = zf.sum(axis=(0, 1))
+        assert float(jnp.abs(zsum[0, 0, :] - want_zsum).max()) < 1e-3
+
+
+def test_deferred_zf_layout_algebra():
+    """The zf lazy-carry algebra (samplers.mgmc deferred_layout "zf"):
+    the production broadcast + kernel leading-repeat must reconstruct
+    the transfer's prolong exactly, and the layout sums must satisfy
+    sum(P0 z) = 2 sum(zf); plus the routing predicate: small grids stay
+    zx2/whole-plane, 512^2+ planes switch to zf/2D."""
+    from parmgmc_tpu.operators.transfer import AggregateTransfer
+    from parmgmc_tpu.samplers.mgmc import MGMCSampler
+    from parmgmc_tpu.models.problems import gmrf_3d
+
+    shape = (8, 16, 32)
+    z = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 16), jnp.float32)
+    # production: in-plane expansion (step_deferred zf branch)
+    zf = jnp.broadcast_to(
+        z[:, :, None, :, None], (4, 8, 2, 16, 2)
+    ).reshape(4, 16, 32)
+    # consumption: leading-axis repeat (the only expansion the 2D kernel
+    # performs; materialize_deferred zf branch)
+    zfull = jnp.broadcast_to(zf[:, None], (4, 2, 16, 32)).reshape(*shape)
+    tr = AggregateTransfer(fine_shape=shape)
+    assert bool(jnp.all(zfull == tr.prolong(z)))
+    assert abs(
+        float(2.0 * jnp.sum(zf)) - float(jnp.sum(tr.prolong(z)))
+    ) < 1e-3
+
+    # routing predicate (shape-only; no kernels run)
+    smp = MGMCSampler.create(
+        gmrf_3d(8, kappa=1.0, dtype=jnp.float32),
+        n_pre=1, n_post=0, coarsest_size=16, coarsening="aggregate",
+        impl="fused_fd",
+    )
+    assert smp.deferred_layout() == "zx2"
+    assert not smp._chain_level0_2d()
+
+
 def test_sample_chain_deferred_matches_standard():
     """step_deferred drives the identical chain (deterministic kernel
     paths can't run the on-chip PRNG on CPU, so this exercises the
