@@ -168,6 +168,14 @@ def _kernel(
                 b_ref[jnp.minimum(1, T - 1)]
                 + nscale * jnp.sqrt(diag_row(jT + T + 1)) * eo
             )
+            if T >= 4:
+                # rows jT+T, jT+T+1 are exactly _slide's pair 0 for the
+                # block slid this grid step (g = iT): store them so the
+                # Box-Muller pair is not re-evaluated there.  T >= 4
+                # keeps the store clear of _slide_tails' reads of rows
+                # T-2, T-1.
+                btprev[0] = btw[T + 2]
+                btprev[1] = btw[T + 3]
         else:
             btw[T + 2] = b_ref[0]
             btw[T + 3] = b_ref[jnp.minimum(1, T - 1)]
@@ -231,7 +239,13 @@ def _kernel(
                 btprev[r + 1] = b_ref[r + 1]
             return 0
 
-        jax.lax.fori_loop(0, T // 2, brow, 0, unroll=False)
+        if with_noise and T >= 4:
+            # pair 0 was stored by _compute this grid step; only tile 0
+            # (no compute ran) generates it here
+            start = jnp.where(i > 0, 1, 0)
+        else:
+            start = 0
+        jax.lax.fori_loop(start, T // 2, brow, 0, unroll=False)
 
 
 @functools.partial(
@@ -415,6 +429,15 @@ def _kernel_chain(
                               window scratch exists)
              tail_x           (3, N1, N2): x rows jT-3..jT-1
              tail_b           (2, N1, N2): b rows jT-2..jT-1
+             [nprev, tail_n]  (T / 2, N1, N2) noise terms
+                              nscale*sqrt(D)*eta for the same rows as
+                              bprev/tail_b: noise rows SLIDE like b rows,
+                              so each Box-Muller pair is evaluated once
+                              per produced row pair (T/2 pairs/tile)
+                              instead of once per window row pair
+                              (T/2+2) — the sequential PRNG loop is the
+                              kernel's VPU bottleneck (BENCH_NOTES), and
+                              at the 512^3 tile T=4 this halves it.
     """
     k = 2
     x_ref, b_ref = refs[0], refs[1]
@@ -427,6 +450,7 @@ def _kernel_chain(
     zsum_ref = refs[k] if with_zsum else None
     k += 1 if with_zsum else 0
     xw, bt, xprev, bprev, tail_x, tail_b = refs[k : k + 6]
+    nprev, tail_n = (refs[k + 6], refs[k + 7]) if with_noise else (None, None)
     # Global-row masking/keying (gg = g + row_off vs n0_global) lets a
     # shard_map caller run the chain down-phase on halo-extended local
     # blocks — see parallel.fused.
@@ -542,19 +566,25 @@ def _kernel_chain(
         par3, diag3, up3, dn3 = geom(W, -2)
         winv3 = omega / diag3
 
-        if with_noise:  # sequential PRNG: stays a (pairwise) loop
-
-            def noise_pair(c, _):
-                l = 2 * c
-                g = jT + (l - 2)
-                ee, eo = _eta_pair(su, stepu, g + row_off, N1, N2)
-                bt[l] = bt[l] + nscale * jnp.sqrt(diag_row(g)) * ee
-                bt[l + 1] = (
-                    bt[l + 1] + nscale * jnp.sqrt(diag_row(g + 1)) * eo
-                )
-                return 0
-
-            jax.lax.fori_loop(0, W // 2, noise_pair, 0, unroll=False)
+        if with_noise:
+            # noise rows slide like b rows: tails + nprev are reused,
+            # only the lookahead pair (rows jT+T, jT+T+1) is fresh — and
+            # it is stored into nprev[0:2] (= rows iT, iT+1 of the block
+            # being slid this grid step) so _slide skips its pair 0.
+            # Tile 0's halo rows (-2, -1) get ZERO noise from the
+            # initialised tails; their bt values are never read
+            # downstream (up_ok masks row 0's up-neighbour), so outputs
+            # are bit-identical to the per-window evaluation.
+            bt[0] = bt[0] + tail_n[0]
+            bt[1] = bt[1] + tail_n[1]
+            bt[pl.ds(2, T)] = bt[pl.ds(2, T)] + nprev[:]
+            ee, eo = _eta_pair(su, stepu, jT + T + row_off, N1, N2)
+            nf0 = nscale * jnp.sqrt(diag_row(jT + T)) * ee
+            nf1 = nscale * jnp.sqrt(diag_row(jT + T + 1)) * eo
+            bt[T + 2] = bt[T + 2] + nf0
+            bt[T + 3] = bt[T + 3] + nf1
+            nprev[0] = nf0
+            nprev[1] = nf1
 
         # ---- phase 0 IN PLACE: colour-0 cells become y = (w/D) r~ --------
         bt0 = bt[:]
@@ -591,6 +621,9 @@ def _kernel_chain(
         tail_x[2] = jnp.zeros((N1, N2), jnp.float32)
         tail_b[0] = jnp.zeros((N1, N2), jnp.float32)
         tail_b[1] = jnp.zeros((N1, N2), jnp.float32)
+        if with_noise:
+            tail_n[0] = jnp.zeros((N1, N2), jnp.float32)
+            tail_n[1] = jnp.zeros((N1, N2), jnp.float32)
         xpy_ref[:] = x_ref[:]  # overwritten at step 1
         rq_ref[:] = jnp.zeros((T // 2, N1 // 2, N2), jnp.float32)
         if with_xsum:
@@ -603,6 +636,11 @@ def _kernel_chain(
         tail_x[2] = xprev[T - 1]
         tail_b[0] = bprev[T - 2]
         tail_b[1] = bprev[T - 1]
+        if with_noise:
+            # T >= 4, so rows T-2, T-1 are untouched by _compute's
+            # nprev[0:2] store this grid step
+            tail_n[0] = nprev[T - 2]
+            tail_n[1] = nprev[T - 1]
 
     @pl.when(i < G)
     def _slide():
@@ -613,6 +651,19 @@ def _kernel_chain(
         else:
             xprev[:] = x_ref[:]
         bprev[:] = b_ref[:]
+        if with_noise:
+            # pair 0 (rows iT, iT+1) was stored by _compute this grid
+            # step; only tile 0 (no compute ran) generates it here
+            def nrow(c, _):
+                r = 2 * c
+                g = i * T + r
+                ee, eo = _eta_pair(su, stepu, g + row_off, N1, N2)
+                nprev[r] = nscale * jnp.sqrt(diag_row(g)) * ee
+                nprev[r + 1] = nscale * jnp.sqrt(diag_row(g + 1)) * eo
+                return 0
+
+            start = jnp.where(i > 0, 1, 0)
+            jax.lax.fori_loop(start, T // 2, nrow, 0, unroll=False)
 
     if with_zsum:
         # z blocks are min(i, G-1): each block 0..G-1 appears exactly once
@@ -710,9 +761,11 @@ def fused_chain_down_fd(
     # VMEM planes: scratch 4T+15 + x/b/xpy blocks 6T + rq blocks T/2 +
     # whole-window value temporaries (ax3/upd3/ay3/r2/shifts ~ 6 windows);
     # with_z adds the half-size z input blocks and the per-block zexpand
-    # temporary (the prolong-add lands at slide time — no z window)
-    T = _auto_tile(N0, N1 * N2 * 4, 19 if with_z else 17,
-                   36 if with_z else 28, tile)
+    # temporary (the prolong-add lands at slide time — no z window);
+    # with_noise adds the slid noise scratch (T + 2 planes)
+    coef = (19 if with_z else 17) + (1 if with_noise else 0)
+    const = (36 if with_z else 28) + (2 if with_noise else 0)
+    T = _auto_tile(N0, N1 * N2 * 4, coef, const, tile)
     if tile is None:
         while T and T > 16:  # Mosaic compile blows up past T=16
             T //= 2
@@ -803,6 +856,11 @@ def fused_chain_down_fd(
         pltpu.VMEM((3, N1, N2), jnp.float32),  # tail_x
         pltpu.VMEM((2, N1, N2), jnp.float32),  # tail_b
     ]
+    if with_noise:
+        scratch_shapes += [
+            pltpu.VMEM((T, N1, N2), jnp.float32),  # nprev
+            pltpu.VMEM((2, N1, N2), jnp.float32),  # tail_n
+        ]
     return pl.pallas_call(
         kern,
         grid=(G + 1,),
@@ -1010,8 +1068,18 @@ def _kernel_chain_2d(
     rt[:] = bw[slot] - ax3
 
     # ---- r~ = r + noise, (row-pair, j-block) keyed -----------------------
+    # Only rows [base0-2, base0+T0+2) can reach an output (y is consumed
+    # on [base0-1, base0+T0+1) by the ay neighbour reads, and phase 1
+    # there reads one more ring of r~); rows outside get no noise — the
+    # skipped window rows' swept values are discarded, so outputs are
+    # bit-identical while the sequential PRNG loop drops from W0/2 to
+    # T0/2+2 row pairs (2.25x -> 1.56x window amplification at the
+    # 768^3 (16,64) tile).
+    nbase0 = pl.multiple_of(i0 * T0 - s0, 2)
     if with_noise:
         nq = W1 // _JB2
+        c_lo = jnp.maximum(nbase0 - 2, 0) // 2
+        c_hi = jnp.minimum(nbase0 + T0 + 2, W0) // 2
         kkb = jax.lax.broadcasted_iota(jnp.int32, (_JB2, N2), 1)
         lanes_ip = (kkb >= 1).astype(jnp.float32) + (kkb <= N2 - 2).astype(
             jnp.float32
@@ -1047,7 +1115,7 @@ def _kernel_chain_2d(
             )
             return 0
 
-        jax.lax.fori_loop(0, (W0 // 2) * nq, noise_blk, 0, unroll=False)
+        jax.lax.fori_loop(c_lo * nq, c_hi * nq, noise_blk, 0, unroll=False)
 
     # ---- from-zero sweep IN PLACE (colour-0 cells become y, colour-1
     # cells still hold r~ until phase 1 — neighbour reads always land on
