@@ -79,19 +79,12 @@ def main():
     # The deferred-prolong chain (bit-identical samples, same mean QOI,
     # ~1.6 fewer fine-grid HBM passes/step) drives the whole-plane sizes.
     if sampler.deferred_eligible():
-        run_time = jax.jit(
-            lambda smp, s, bb: sample_chain_deferred(smp, s, bb, N_TIME)
-        )
-        run_iact = jax.jit(
-            lambda smp, s, bb: sample_chain_deferred(smp, s, bb, N_IACT)
-        )
+        runner = lambda smp, s, bb, n: sample_chain_deferred(smp, s, bb, n)
     else:
-        run_time = jax.jit(
-            lambda smp, s, bb: sample_chain(smp, s, bb, N_TIME, extract=qoi)
+        runner = lambda smp, s, bb, n: sample_chain(
+            smp, s, bb, n, extract=qoi
         )
-        run_iact = jax.jit(
-            lambda smp, s, bb: sample_chain(smp, s, bb, N_IACT, extract=qoi)
-        )
+    run_time = jax.jit(lambda smp, s, bb: runner(smp, s, bb, N_TIME))
 
     st = ChainState(
         x=jnp.zeros(op.grid_shape, DTYPE), key=jax.random.PRNGKey(0)
@@ -111,8 +104,20 @@ def main():
     force(st.x)
     dt = (time.perf_counter() - t0) / N_TIME  # seconds per V(2,2) sample
 
-    st, q = run_iact(sampler, st, b)
-    q = np.asarray(q)
+    # IACT chain in fixed-size chunks: a single on-device dispatch past
+    # ~2 minutes crashes the axon worker ("TPU worker process crashed or
+    # restarted"; measured 2026-08-18: the 16384-step scan at 512^3
+    # [~150 s] dies every time, a 4096-step scan passes). Cap each
+    # dispatch near 45 s of chain time; the q readbacks between chunks
+    # are scalars-per-step, so the fence cost is negligible.
+    n_chunks = max(1, int(np.ceil(dt * N_IACT / 45.0)))
+    chunk = int(np.ceil(N_IACT / n_chunks))
+    run_iact = jax.jit(lambda smp, s, bb: runner(smp, s, bb, chunk))
+    qs = []
+    for _ in range(n_chunks):
+        st, q = run_iact(sampler, st, b)
+        qs.append(np.asarray(q))
+    q = np.concatenate(qs)[:N_IACT]
 
     from parmgmc_tpu.diagnostics.iact import iact
 

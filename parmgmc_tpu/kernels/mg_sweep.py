@@ -401,7 +401,9 @@ def _kernel_chain(
     with_xsum: bool = False,
     with_zsum: bool = False,
 ):
-    """Ref layout (after the two SMEM scalars), in pallas_call order:
+    """Staged-slab chain down-phase (see fused_chain_down_fd).
+
+    Ref layout (after the two SMEM scalars), in pallas_call order:
 
     inputs   x_ref, b_ref     (T, N1, N2) blocks min(i, G-1) of the chain
                               state x and RHS b
@@ -419,25 +421,25 @@ def _kernel_chain(
                               INPUT (= the previous step's correction):
                               the z part of the PREVIOUS sample's global
                               sum, so the chain never re-reads zx2
-    scratch  xw               (T+6, N1, N2): pre-sweep x rows jT-3..jT+T+2
-             bt               (T+4, N1, N2): r~ rows jT-2..jT+T+1, swept
-                              IN PLACE to y
-             xprev, bprev     (T, N1, N2): rows jT..jT+T-1 from last step
-                              (with_z: xprev holds x = xpy_prev + P z —
-                              the prolong-add lands once per block at
-                              slide time, so tails inherit it and no z
-                              window scratch exists)
-             tail_x           (3, N1, N2): x rows jT-3..jT-1
-             tail_b           (2, N1, N2): b rows jT-2..jT-1
-             [nprev, tail_n]  (T / 2, N1, N2) noise terms
-                              nscale*sqrt(D)*eta for the same rows as
-                              bprev/tail_b: noise rows SLIDE like b rows,
-                              so each Box-Muller pair is evaluated once
-                              per produced row pair (T/2 pairs/tile)
-                              instead of once per window row pair
-                              (T/2+2) — the sequential PRNG loop is the
-                              kernel's VPU bottleneck (BENCH_NOTES), and
-                              at the 512^3 tile T=4 this halves it.
+
+    Dataflow: instead of recomputing every pipeline stage over a full
+    sliding window per tile ((T+6)-row A x, (T+4)-row phases — 3T+12
+    stencil rows per T output rows, 2x recompute at the 512^3 tile
+    T=4), each stage computes a fresh T-row slab per tile and carries
+    the 2 rows the next tile's window needs in rows 0..1 of its own
+    (T+2)-row scratch:
+
+      axw   A x  rows jT ..   jT+T+1   (fresh slab rows jT+2 .. jT+T+1)
+      y0w   r~/phase-0 rows jT .. jT+T+1  (same fresh rows; in place)
+      yw    y    rows jT-1 .. jT+T     (fresh slab rows jT+1 .. jT+T)
+
+    where j = i-1 is the tile being produced.  Every row of every stage
+    is computed exactly once (3(T+2) stencil rows per tile) from the
+    same formulas in the same order, so results are bit-identical to
+    the windowed form; noise keying is unchanged (one Box-Muller pair
+    per produced row pair, keyed (seed, step, global even row)).  Tile
+    1 additionally computes a tiny prologue (stage rows 0..1 / row 0)
+    to prime the carries.
     """
     k = 2
     x_ref, b_ref = refs[0], refs[1]
@@ -449,15 +451,13 @@ def _kernel_chain(
     k += 1 if with_xsum else 0
     zsum_ref = refs[k] if with_zsum else None
     k += 1 if with_zsum else 0
-    xw, bt, xprev, bprev, tail_x, tail_b = refs[k : k + 6]
-    nprev, tail_n = (refs[k + 6], refs[k + 7]) if with_noise else (None, None)
+    xw2, axw, y0w, yw, xprev, bprev, prow = refs[k : k + 7]
     # Global-row masking/keying (gg = g + row_off vs n0_global) lets a
     # shard_map caller run the chain down-phase on halo-extended local
     # blocks — see parallel.fused.
     N0, N1, N2 = shape
     N0G = n0_global
     G = N0 // T
-    W = T + 4
     i = pl.program_id(0)
     j = i - 1  # tile being produced
     jT = j * T
@@ -499,11 +499,11 @@ def _kernel_chain(
     # single vector ops over the window — see _kernel above) -----------
     def geom(w, off):
         """(par3, diag3, up_ok3, dn_ok3) for a w-row window whose row 0
-        is global row jT + off + row_off (off and row_off even, so
-        parity is j-independent)."""
+        is global row jT + off + row_off (T and row_off even and off a
+        static int, so parity is j-independent)."""
         ll3 = jax.lax.broadcasted_iota(jnp.int32, (w, N1, N2), 0)
         g3 = (jT + off + row_off) + ll3
-        par3 = (ll3 + plane_par[None]) % 2
+        par3 = (ll3 + (off % 2) + plane_par[None]) % 2
         up_ok3 = (g3 >= 1).astype(jnp.float32)
         dn_ok3 = (g3 <= N0G - 2).astype(jnp.float32)
         diag3 = kappa2 + hinv2 * (links_inplane[None] + up_ok3 + dn_ok3)
@@ -530,140 +530,130 @@ def _kernel_chain(
             zr[:, :, None], (rows, N1 // 2, 2, N2)
         ).reshape(rows, N1, N2)
 
+    @pl.when(i == 1)
+    def _prologue():
+        # Prime the stage carries: A x rows 0..1, r~/phase-0 rows 0..1,
+        # y row 0 (plus a zero "row -1" whose contributions are masked
+        # by up_ok / discarded by sharded callers).  Same formulas and
+        # noise keying as the slabs, so values are bit-identical to a
+        # windowed evaluation with zero phantom rows.
+        prow[0] = jnp.zeros((N1, N2), jnp.float32)
+        prow[1] = xprev[0]
+        prow[2] = xprev[1]
+        prow[3] = xprev[2]
+        _, diag4, up4, dn4 = geom(4, -1)  # rows -1..2 (jT = 0 here)
+        pv4 = prow[:]
+        axp = diag4 * pv4 + neigh_sum(pv4, 4, up4, dn4)
+        axw[0] = axp[1]
+        axw[1] = axp[2]
+        rp0 = bprev[0] - axp[1]
+        rp1 = bprev[1] - axp[2]
+        if with_noise:
+            ee, eo = _eta_pair(su, stepu, row_off, N1, N2)
+            rp0 = rp0 + nscale * jnp.sqrt(diag_row(0)) * ee
+            rp1 = rp1 + nscale * jnp.sqrt(diag_row(1)) * eo
+        d0 = diag_row(0)
+        d1 = diag_row(1)
+        par1 = (plane_par + 1) % 2
+        y0p0 = jnp.where(plane_par == color0, (omega / d0) * rp0, rp0)
+        y0p1 = jnp.where(par1 == color0, (omega / d1) * rp1, rp1)
+        y0w[0] = y0p0
+        y0w[1] = y0p1
+        prow[0] = jnp.zeros((N1, N2), jnp.float32)
+        prow[1] = y0p0
+        prow[2] = y0p1
+        _, diag3p, up3p, dn3p = geom(3, -1)  # rows -1..1
+        pv3 = prow[pl.ds(0, 3)]
+        updp = (omega / diag3p) * (pv3 - neigh_sum(pv3, 3, up3p, dn3p))
+        yw[0] = jnp.zeros((N1, N2), jnp.float32)
+        yw[1] = jnp.where(plane_par == (1 - color0), updp[1], y0p0)
+
     @pl.when(i > 0)
     def _compute():
-        # ---- assemble the pre-sweep x window rows jT-3 .. jT+T+2 ---------
-        # (with_z: xprev/tail_x already hold x = xpy_prev + P z — the
-        # deferred prolong-add happens ONCE per block at slide time, not
-        # per window; only the 3 lookahead rows add their z on the fly)
-        xw[0] = tail_x[0]
-        xw[1] = tail_x[1]
-        xw[2] = tail_x[2]
-        xw[pl.ds(3, T)] = xprev[:]
+        # ---- fresh x slab window: rows jT+1 .. jT+T+2 (with_z: xprev
+        # already holds x = xpy_prev + P z from slide time; the 3
+        # lookahead rows add their z on the fly) ---------------------------
+        xw2[pl.ds(0, T - 1)] = xprev[pl.ds(1, T - 1)]
         if with_z:
             zlead = zexpand(z_ref[pl.ds(0, 2)], 4)
-            xw[T + 3] = x_ref[0] + zlead[0]
-            xw[T + 4] = x_ref[jnp.minimum(1, T - 1)] + zlead[1]
-            xw[T + 5] = x_ref[jnp.minimum(2, T - 1)] + zlead[2]
+            xw2[T - 1] = x_ref[0] + zlead[0]
+            xw2[T] = x_ref[1] + zlead[1]
+            xw2[T + 1] = x_ref[2] + zlead[2]
         else:
-            xw[T + 3] = x_ref[0]
-            xw[T + 4] = x_ref[jnp.minimum(1, T - 1)]
-            xw[T + 5] = x_ref[jnp.minimum(2, T - 1)]
+            xw2[T - 1] = x_ref[0]
+            xw2[T] = x_ref[1]
+            xw2[T + 1] = x_ref[2]
 
-        # ---- (A x) on rows jT-2 .. jT+T+1 (xw rows 1..W) -----------------
-        parx, diagx, upx, dnx = geom(T + 6, -3)
-        xv = xw[:]
-        ax3 = (diagx * xv + neigh_sum(xv, T + 6, upx, dnx))[1 : W + 1]
+        # ---- (A x) fresh slab rows jT+2 .. jT+T+1 ------------------------
+        _, diagx, upx, dnx = geom(T + 2, 1)
+        xv = xw2[:]
+        axv = diagx * xv + neigh_sum(xv, T + 2, upx, dnx)
+        axw[pl.ds(2, T)] = axv[1 : T + 1]
 
-        # ---- r~ = (b - A x) + noise, rows jT-2 .. jT+T+1 ------------------
-        bt[0] = tail_b[0]
-        bt[1] = tail_b[1]
-        bt[pl.ds(2, T)] = bprev[:]
-        bt[T + 2] = b_ref[0]
-        bt[T + 3] = b_ref[jnp.minimum(1, T - 1)]
-        bt[:] = bt[:] - ax3
-
-        par3, diag3, up3, dn3 = geom(W, -2)
-        winv3 = omega / diag3
-
+        # ---- r~ = (b - A x) + noise, fresh rows jT+2 .. jT+T+1 ------------
+        y0w[pl.ds(2, T - 2)] = bprev[pl.ds(2, T - 2)] - axw[pl.ds(2, T - 2)]
+        y0w[pl.ds(T, 2)] = b_ref[pl.ds(0, 2)] - axw[pl.ds(T, 2)]
         if with_noise:
-            # noise rows slide like b rows: tails + nprev are reused,
-            # only the lookahead pair (rows jT+T, jT+T+1) is fresh — and
-            # it is stored into nprev[0:2] (= rows iT, iT+1 of the block
-            # being slid this grid step) so _slide skips its pair 0.
-            # Tile 0's halo rows (-2, -1) get ZERO noise from the
-            # initialised tails; their bt values are never read
-            # downstream (up_ok masks row 0's up-neighbour), so outputs
-            # are bit-identical to the per-window evaluation.
-            bt[0] = bt[0] + tail_n[0]
-            bt[1] = bt[1] + tail_n[1]
-            bt[pl.ds(2, T)] = bt[pl.ds(2, T)] + nprev[:]
-            ee, eo = _eta_pair(su, stepu, jT + T + row_off, N1, N2)
-            nf0 = nscale * jnp.sqrt(diag_row(jT + T)) * ee
-            nf1 = nscale * jnp.sqrt(diag_row(jT + T + 1)) * eo
-            bt[T + 2] = bt[T + 2] + nf0
-            bt[T + 3] = bt[T + 3] + nf1
-            nprev[0] = nf0
-            nprev[1] = nf1
+            for c in range(T // 2):  # one Box-Muller pair per row pair
+                g = jT + 2 + 2 * c
+                ee, eo = _eta_pair(su, stepu, g + row_off, N1, N2)
+                y0w[2 + 2 * c] = (
+                    y0w[2 + 2 * c] + nscale * jnp.sqrt(diag_row(g)) * ee
+                )
+                y0w[3 + 2 * c] = (
+                    y0w[3 + 2 * c] + nscale * jnp.sqrt(diag_row(g + 1)) * eo
+                )
 
-        # ---- phase 0 IN PLACE: colour-0 cells become y = (w/D) r~ --------
-        bt0 = bt[:]
-        bt[:] = jnp.where(par3 == color0, winv3 * bt0, bt0)
+        # ---- phase 0 IN PLACE on the fresh slab: colour-0 cells become
+        # y = (w/D) r~ (colour-1 cells keep r~) ----------------------------
+        par0, diag0, _, _ = geom(T, 2)
+        v0 = y0w[pl.ds(2, T)]
+        y0w[pl.ds(2, T)] = jnp.where(par0 == color0, (omega / diag0) * v0, v0)
 
-        # ---- phase 1 IN PLACE: colour-1 cells read fresh colour-0 y ------
-        y0 = bt[:]
-        upd3 = winv3 * (y0 - neigh_sum(y0, W, up3, dn3))
-        bt[:] = jnp.where(par3 == (1 - color0), upd3, y0)
-        yfm = bt[:][1 : T + 3]  # row q = window row q+1 = jT-1+q
+        # ---- phase 1: colour-1 cells read fresh colour-0 y; fresh slab
+        # rows jT+1 .. jT+T from the (T+2)-row y0 window jT .. jT+T+1 ------
+        par1w, diag1w, up1w, dn1w = geom(T + 2, 0)
+        y0v = y0w[:]
+        upd = (omega / diag1w) * (y0v - neigh_sum(y0v, T + 2, up1w, dn1w))
+        sel = jnp.where(par1w == (1 - color0), upd, y0v)
+        yw[pl.ds(2, T)] = sel[1 : T + 1]
 
-        # ---- xpy = x + y (the fused chain-state add; xv rows 3..T+2
-        # hold x = xpy_prev + P z when with_z) -----------------------------
-        out = xv[3 : T + 3] + yfm[1 : T + 1]
+        # ---- outputs from the assembled y window rows jT-1 .. jT+T -------
+        _, diagy, upy, dny = geom(T + 2, -1)
+        yv = yw[:]
+        ayv = diagy * yv + neigh_sum(yv, T + 2, upy, dny)
+        out = xprev[:] + yv[1 : T + 1]
         xpy_ref[:] = out
         if with_xsum:
             xsum_ref[:] = out.sum(axis=1, keepdims=True)
 
-        # ---- restricted residual of (r - A y) on a (T+2)-row slab (the
-        # full-window pass wasted 2 rows nothing reads) --------------------
-        pary, diagy, upy, dny = geom(T + 2, -1)
-        ay = (diagy * yfm + neigh_sum(yfm, T + 2, upy, dny))[1 : T + 1]
-        r2 = bprev[:] - ax3[2 : T + 2] - ay
+        # ---- restricted residual r = (b - A x) - A y on output rows ------
+        r2 = bprev[:] - axw[pl.ds(0, T)] - ayv[1 : T + 1]
         for c in range(T // 2):  # static unroll (no dynamic value slice)
             rp = r2[2 * c] + r2[2 * c + 1]
             rq_ref[c] = rp.reshape(N1 // 2, 2, N2).sum(1)
 
+        # ---- carry the 2 rows the next tile's windows need ---------------
+        axw[pl.ds(0, 2)] = axw[pl.ds(T, 2)]
+        y0w[pl.ds(0, 2)] = y0w[pl.ds(T, 2)]
+        yw[pl.ds(0, 2)] = yw[pl.ds(T, 2)]
+
     @pl.when(i == 0)
     def _init():
-        # rows -3..-1 don't exist for tile 0; zero tails (their masked
-        # contributions must stay finite)
-        tail_x[0] = jnp.zeros((N1, N2), jnp.float32)
-        tail_x[1] = jnp.zeros((N1, N2), jnp.float32)
-        tail_x[2] = jnp.zeros((N1, N2), jnp.float32)
-        tail_b[0] = jnp.zeros((N1, N2), jnp.float32)
-        tail_b[1] = jnp.zeros((N1, N2), jnp.float32)
-        if with_noise:
-            tail_n[0] = jnp.zeros((N1, N2), jnp.float32)
-            tail_n[1] = jnp.zeros((N1, N2), jnp.float32)
         xpy_ref[:] = x_ref[:]  # overwritten at step 1
         rq_ref[:] = jnp.zeros((T // 2, N1 // 2, N2), jnp.float32)
         if with_xsum:
             xsum_ref[:] = jnp.zeros((T, 1, N2), jnp.float32)
 
-    @pl.when(jnp.logical_and(i > 0, i < G))
-    def _slide_tails():
-        tail_x[0] = xprev[T - 3]
-        tail_x[1] = xprev[T - 2]
-        tail_x[2] = xprev[T - 1]
-        tail_b[0] = bprev[T - 2]
-        tail_b[1] = bprev[T - 1]
-        if with_noise:
-            # T >= 4, so rows T-2, T-1 are untouched by _compute's
-            # nprev[0:2] store this grid step
-            tail_n[0] = nprev[T - 2]
-            tail_n[1] = nprev[T - 1]
-
     @pl.when(i < G)
     def _slide():
         # with_z: the deferred prolong-add lands here, once per block —
-        # xprev (and the tails slid from it) hold x = xpy_prev + P z
+        # xprev holds x = xpy_prev + P z
         if with_z:
             xprev[:] = x_ref[:] + zexpand(z_ref[:], T)
         else:
             xprev[:] = x_ref[:]
         bprev[:] = b_ref[:]
-        if with_noise:
-            # pair 0 (rows iT, iT+1) was stored by _compute this grid
-            # step; only tile 0 (no compute ran) generates it here
-            def nrow(c, _):
-                r = 2 * c
-                g = i * T + r
-                ee, eo = _eta_pair(su, stepu, g + row_off, N1, N2)
-                nprev[r] = nscale * jnp.sqrt(diag_row(g)) * ee
-                nprev[r + 1] = nscale * jnp.sqrt(diag_row(g + 1)) * eo
-                return 0
-
-            start = jnp.where(i > 0, 1, 0)
-            jax.lax.fori_loop(start, T // 2, nrow, 0, unroll=False)
 
     if with_zsum:
         # z blocks are min(i, G-1): each block 0..G-1 appears exactly once
@@ -849,18 +839,14 @@ def fused_chain_down_fd(
         )
         out_shape.append(jax.ShapeDtypeStruct((1, 1, N2), jnp.float32))
     scratch_shapes = [
-        pltpu.VMEM((T + 6, N1, N2), jnp.float32),  # xw
-        pltpu.VMEM((T + 4, N1, N2), jnp.float32),  # bt (r~ -> y)
+        pltpu.VMEM((T + 2, N1, N2), jnp.float32),  # xw2 (x slab window)
+        pltpu.VMEM((T + 2, N1, N2), jnp.float32),  # axw (A x + 2-row carry)
+        pltpu.VMEM((T + 2, N1, N2), jnp.float32),  # y0w (r~/phase-0 + carry)
+        pltpu.VMEM((T + 2, N1, N2), jnp.float32),  # yw (y + 2-row carry)
         pltpu.VMEM((T, N1, N2), jnp.float32),  # xprev (z-added when with_z)
         pltpu.VMEM((T, N1, N2), jnp.float32),  # bprev
-        pltpu.VMEM((3, N1, N2), jnp.float32),  # tail_x
-        pltpu.VMEM((2, N1, N2), jnp.float32),  # tail_b
+        pltpu.VMEM((4, N1, N2), jnp.float32),  # prow (tile-1 prologue)
     ]
-    if with_noise:
-        scratch_shapes += [
-            pltpu.VMEM((T, N1, N2), jnp.float32),  # nprev
-            pltpu.VMEM((2, N1, N2), jnp.float32),  # tail_n
-        ]
     return pl.pallas_call(
         kern,
         grid=(G + 1,),
