@@ -748,11 +748,13 @@ def fused_chain_down_fd(
     with_z = zx2 is not None
     if with_zsum and not with_z:
         raise ValueError("with_zsum requires zx2")
-    # VMEM planes: scratch 4T+15 + x/b/xpy blocks 6T + rq blocks T/2 +
-    # whole-window value temporaries (ax3/upd3/ay3/r2/shifts ~ 6 windows);
-    # with_z adds the half-size z input blocks and the per-block zexpand
-    # temporary (the prolong-add lands at slide time — no z window);
-    # with_noise adds the slid noise scratch (T + 2 planes)
+    # VMEM planes (staged-slab layout): stage scratch 4(T+2) + xprev/
+    # bprev 2T + prow 4 + x/b/xpy blocks 6T + rq blocks T/2 + slab value
+    # temporaries (axv/upd/sel/ayv/shifts ~ 6 slabs of T+2); with_z adds
+    # the half-size z input blocks and the per-block zexpand temporary
+    # (the prolong-add lands at slide time — no z window).  The budget
+    # deliberately keeps the old windowed kernel's coefficients (they
+    # bound the new layout: measured-good tiles stay identical).
     coef = (19 if with_z else 17) + (1 if with_noise else 0)
     const = (36 if with_z else 28) + (2 if with_noise else 0)
     T = _auto_tile(N0, N1 * N2 * 4, coef, const, tile)
