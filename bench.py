@@ -71,7 +71,10 @@ def main():
     sampler = MGMCSampler.create(
         op, n_pre=1, n_post=0, coarsest_size=128, coarsening="aggregate"
     )
-    b = jnp.zeros(op.grid_shape, DTYPE)
+    # b=None: zero RHS (prior sampling).  The chain kernel then skips
+    # the b HBM stream entirely (bit-identical to explicit zeros, one
+    # fewer fine-grid read per step — kernels.mg_sweep with_b=False).
+    b = None
     qoi = lambda x: jnp.mean(x)
 
     # Pass sampler + b as jit ARGUMENTS: closing over them would embed the

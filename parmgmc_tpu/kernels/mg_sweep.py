@@ -400,13 +400,18 @@ def _kernel_chain(
     with_z: bool = False,
     with_xsum: bool = False,
     with_zsum: bool = False,
+    with_b: bool = True,
 ):
     """Staged-slab chain down-phase (see fused_chain_down_fd).
 
     Ref layout (after the two SMEM scalars), in pallas_call order:
 
-    inputs   x_ref, b_ref     (T, N1, N2) blocks min(i, G-1) of the chain
-                              state x and RHS b
+    inputs   x_ref, [b_ref]   (T, N1, N2) blocks min(i, G-1) of the chain
+                              state x and RHS b.  ``with_b=False`` (prior
+                              sampling, b == 0) drops the b stream and
+                              its bprev slide entirely — every ``b - ...``
+                              term becomes ``0.0 - ...``, so results stay
+                              bit-identical to streaming explicit zeros
              [zx2_ref]        (T//2, N1//2, N2) block min(i, G-1): the
                               PREVIOUS step's coarse correction with lanes
                               pre-duplicated — when with_z, the chain
@@ -441,8 +446,10 @@ def _kernel_chain(
     1 additionally computes a tiny prologue (stage rows 0..1 / row 0)
     to prime the carries.
     """
-    k = 2
-    x_ref, b_ref = refs[0], refs[1]
+    x_ref = refs[0]
+    k = 1
+    b_ref = refs[k] if with_b else None
+    k += 1 if with_b else 0
     z_ref = refs[k] if with_z else None
     k += 1 if with_z else 0
     xpy_ref, rq_ref = refs[k], refs[k + 1]
@@ -451,7 +458,11 @@ def _kernel_chain(
     k += 1 if with_xsum else 0
     zsum_ref = refs[k] if with_zsum else None
     k += 1 if with_zsum else 0
-    xw2, axw, y0w, yw, xprev, bprev, prow = refs[k : k + 7]
+    xw2, axw, y0w, yw, xprev = refs[k : k + 5]
+    k += 5
+    bprev = refs[k] if with_b else None
+    k += 1 if with_b else 0
+    prow = refs[k]
     # Global-row masking/keying (gg = g + row_off vs n0_global) lets a
     # shard_map caller run the chain down-phase on halo-extended local
     # blocks — see parallel.fused.
@@ -546,8 +557,12 @@ def _kernel_chain(
         axp = diag4 * pv4 + neigh_sum(pv4, 4, up4, dn4)
         axw[0] = axp[1]
         axw[1] = axp[2]
-        rp0 = bprev[0] - axp[1]
-        rp1 = bprev[1] - axp[2]
+        if with_b:
+            rp0 = bprev[0] - axp[1]
+            rp1 = bprev[1] - axp[2]
+        else:
+            rp0 = 0.0 - axp[1]
+            rp1 = 0.0 - axp[2]
         if with_noise:
             ee, eo = _eta_pair(su, stepu, row_off, N1, N2)
             rp0 = rp0 + nscale * jnp.sqrt(diag_row(0)) * ee
@@ -591,8 +606,13 @@ def _kernel_chain(
         axw[pl.ds(2, T)] = axv[1 : T + 1]
 
         # ---- r~ = (b - A x) + noise, fresh rows jT+2 .. jT+T+1 ------------
-        y0w[pl.ds(2, T - 2)] = bprev[pl.ds(2, T - 2)] - axw[pl.ds(2, T - 2)]
-        y0w[pl.ds(T, 2)] = b_ref[pl.ds(0, 2)] - axw[pl.ds(T, 2)]
+        if with_b:
+            y0w[pl.ds(2, T - 2)] = (
+                bprev[pl.ds(2, T - 2)] - axw[pl.ds(2, T - 2)]
+            )
+            y0w[pl.ds(T, 2)] = b_ref[pl.ds(0, 2)] - axw[pl.ds(T, 2)]
+        else:
+            y0w[pl.ds(2, T)] = 0.0 - axw[pl.ds(2, T)]
         if with_noise:
             for c in range(T // 2):  # one Box-Muller pair per row pair
                 g = jT + 2 + 2 * c
@@ -628,7 +648,10 @@ def _kernel_chain(
             xsum_ref[:] = out.sum(axis=1, keepdims=True)
 
         # ---- restricted residual r = (b - A x) - A y on output rows ------
-        r2 = bprev[:] - axw[pl.ds(0, T)] - ayv[1 : T + 1]
+        if with_b:
+            r2 = bprev[:] - axw[pl.ds(0, T)] - ayv[1 : T + 1]
+        else:
+            r2 = (0.0 - axw[pl.ds(0, T)]) - ayv[1 : T + 1]
         for c in range(T // 2):  # static unroll (no dynamic value slice)
             rp = r2[2 * c] + r2[2 * c + 1]
             rq_ref[c] = rp.reshape(N1 // 2, 2, N2).sum(1)
@@ -653,7 +676,8 @@ def _kernel_chain(
             xprev[:] = x_ref[:] + zexpand(z_ref[:], T)
         else:
             xprev[:] = x_ref[:]
-        bprev[:] = b_ref[:]
+        if with_b:
+            bprev[:] = b_ref[:]
 
     if with_zsum:
         # z blocks are min(i, G-1): each block 0..G-1 appears exactly once
@@ -716,7 +740,13 @@ def fused_chain_down_fd(
     chain driver recovers the previous sample's global sum without an
     extra pass over zx2 (``sum(x_prev) = sum(xsum_prev) + 4*sum(zsum)``,
     the 4 because zx2 duplicates lanes and P duplicates 2 axes more).
+
+    ``b=None`` declares the RHS identically zero (prior sampling — the
+    flagship benchmark): the kernel skips the whole b stream (one fine
+    HBM read/step plus its VMEM slide), computing ``0.0 - A x`` where it
+    would compute ``b - A x`` — bit-identical to passing explicit zeros.
     """
+    with_b = b is not None
     N0, N1, N2 = x.shape
     if n0_global is None:
         n0_global = N0
@@ -755,7 +785,12 @@ def fused_chain_down_fd(
     # (the prolong-add lands at slide time — no z window).  The budget
     # deliberately keeps the old windowed kernel's coefficients (they
     # bound the new layout: measured-good tiles stay identical).
-    coef = (19 if with_z else 17) + (1 if with_noise else 0)
+    # Dropping the b stream removes its pipeline blocks + bprev (~3T).
+    coef = (
+        (19 if with_z else 17)
+        + (1 if with_noise else 0)
+        - (0 if with_b else 3)
+    )
     const = (36 if with_z else 28) + (2 if with_noise else 0)
     T = _auto_tile(N0, N1 * N2 * 4, coef, const, tile)
     if tile is None:
@@ -795,6 +830,7 @@ def fused_chain_down_fd(
         with_z=with_z,
         with_xsum=with_xsum,
         with_zsum=with_zsum,
+        with_b=with_b,
     )
     lookahead = lambda i: (jnp.minimum(i, G - 1), 0, 0)
     produced = lambda i: (jnp.maximum(i - 1, 0), 0, 0)
@@ -802,9 +838,13 @@ def fused_chain_down_fd(
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((T, N1, N2), lookahead, memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, N1, N2), lookahead, memory_space=pltpu.VMEM),
     ]
-    args = [fscal, iscal, x, b]
+    args = [fscal, iscal, x]
+    if with_b:
+        in_specs.append(
+            pl.BlockSpec((T, N1, N2), lookahead, memory_space=pltpu.VMEM)
+        )
+        args.append(b)
     if with_z:
         in_specs.append(
             pl.BlockSpec(
@@ -846,9 +886,12 @@ def fused_chain_down_fd(
         pltpu.VMEM((T + 2, N1, N2), jnp.float32),  # y0w (r~/phase-0 + carry)
         pltpu.VMEM((T + 2, N1, N2), jnp.float32),  # yw (y + 2-row carry)
         pltpu.VMEM((T, N1, N2), jnp.float32),  # xprev (z-added when with_z)
-        pltpu.VMEM((T, N1, N2), jnp.float32),  # bprev
-        pltpu.VMEM((4, N1, N2), jnp.float32),  # prow (tile-1 prologue)
     ]
+    if with_b:
+        scratch_shapes.append(pltpu.VMEM((T, N1, N2), jnp.float32))  # bprev
+    scratch_shapes.append(
+        pltpu.VMEM((4, N1, N2), jnp.float32)  # prow (tile-1 prologue)
+    )
     return pl.pallas_call(
         kern,
         grid=(G + 1,),
@@ -888,10 +931,15 @@ def _kernel_chain_2d(
     with_z: bool = False,
     with_xsum: bool = False,
     with_zsum: bool = False,
+    with_b: bool = True,
 ):
     """Ref layout (after the two SMEM scalars), in pallas_call order:
 
-    inputs   x_hbm, b_hbm      ANY (N0, N1, N2)
+    inputs   x_hbm, [b_hbm]    ANY (N0, N1, N2).  ``with_b=False`` (zero
+                               RHS, prior sampling) drops the b stream:
+                               no b DMA, no b windows, and every
+                               ``b - ...`` term is ``0.0 - ...`` —
+                               bit-identical to streaming explicit zeros
              [z_hbm]           ANY (N0//2, N1, N2): the previous step's
                                coarse correction in ``zf`` layout —
                                leading axis compressed ONLY.  Sublanes
@@ -907,13 +955,15 @@ def _kernel_chain_2d(
              [zsum_ref]        VMEM (1, 1, N2) block (0, 0, 0): sums of
                                the z_hbm tile regions (each z point
                                once), accumulated over every tile
-    scratch  xw, bw            (2, W0, W1, N2) double-buffered windows
+    scratch  xw, [bw]          (2, W0, W1, N2) double-buffered windows
              rt                (W0, W1, N2)
              [zw]              (2, W0//2, W1, N2) z window slots
              sem               DMA semaphores (3 if with_z else 2, 2)
     """
-    k = 2
-    x_hbm, b_hbm = refs[0], refs[1]
+    x_hbm = refs[0]
+    k = 1
+    b_hbm = refs[k] if with_b else None
+    k += 1 if with_b else 0
     z_hbm = refs[k] if with_z else None
     k += 1 if with_z else 0
     xpy_ref, rq_ref = refs[k], refs[k + 1]
@@ -922,11 +972,15 @@ def _kernel_chain_2d(
     k += 1 if with_xsum else 0
     zsum_ref = refs[k] if with_zsum else None
     k += 1 if with_zsum else 0
-    if with_z:
-        xw, bw, rt, zw, sem = refs[k : k + 5]
-    else:
-        xw, bw, rt, sem = refs[k : k + 4]
-        zw = None
+    xw = refs[k]
+    k += 1
+    bw = refs[k] if with_b else None
+    k += 1 if with_b else 0
+    rt = refs[k]
+    k += 1
+    zw = refs[k] if with_z else None
+    k += 1 if with_z else 0
+    sem = refs[k]
     N0, N1, N2 = shape
     N0G = n0_global
     H0 = 4
@@ -954,12 +1008,15 @@ def _kernel_chain_2d(
                 xw.at[sl],
                 sem.at[0, sl],
             ),
-            pltpu.make_async_copy(
-                b_hbm.at[pl.ds(s0t, W0), pl.ds(s1t, W1)],
-                bw.at[sl],
-                sem.at[1, sl],
-            ),
         ]
+        if with_b:
+            cps.append(
+                pltpu.make_async_copy(
+                    b_hbm.at[pl.ds(s0t, W0), pl.ds(s1t, W1)],
+                    bw.at[sl],
+                    sem.at[1, sl],
+                )
+            )
         if with_z:
             # z rows at half resolution: rows [s0t//2, s0t//2 + W0//2)
             # cover fine rows [s0t, s0t + W0); the sublane range is the
@@ -968,7 +1025,7 @@ def _kernel_chain_2d(
                 pltpu.make_async_copy(
                     z_hbm.at[pl.ds(s0t // 2, W0 // 2), pl.ds(s1t, W1)],
                     zw.at[sl],
-                    sem.at[2, sl],
+                    sem.at[2 if with_b else 1, sl],
                 )
             )
         return cps
@@ -1053,7 +1110,7 @@ def _kernel_chain_2d(
     # ---- r = b - A x (valid one ring in from the window edge) ------------
     xv = xw[slot]
     ax3 = diag3 * xv + neigh_sum(xv)
-    rt[:] = bw[slot] - ax3
+    rt[:] = (bw[slot] - ax3) if with_b else (0.0 - ax3)
 
     # ---- r~ = r + noise, (row-pair, j-block) keyed -----------------------
     # Only rows [base0-2, base0+T0+2) can reach an output (y is consumed
@@ -1151,11 +1208,17 @@ def _kernel_chain_2d(
         def _zsum_acc():
             zsum_ref[:] = zsum_ref[:] + zpart
 
-    # r2 = (b - A x) - A y, written back into bw so the tile slice is a
-    # ref read (Mosaic has no dynamic_slice on values)
+    # r2 = (b - A x) - A y, staged through rt (dead once yf is read) so
+    # the tile slice is a ref read (Mosaic has no dynamic_slice on
+    # values).  TWO ref writes on purpose: the ref round-trip between
+    # ``b - A x`` and ``- A y`` pins the arithmetic order, keeping the
+    # with_b=False path BIT-identical to streaming explicit zeros (one
+    # fused ``(b - ax3) - ay3`` expression contracts differently when b
+    # is a loaded window vs the constant 0.0).
     ay3 = diag3 * yf + neigh_sum(yf)
-    bw[slot] = (bw[slot] - ax3) - ay3
-    r2t = bw[slot, pl.ds(base0, T0), pl.ds(base1, T1)]
+    rt[:] = (bw[slot] - ax3) if with_b else (0.0 - ax3)
+    rt[:] = rt[:] - ay3
+    r2t = rt[pl.ds(base0, T0), pl.ds(base1, T1)]
     for c in range(T0 // 2):  # static unroll
         rp = r2t[2 * c] + r2t[2 * c + 1]
         rq_ref[c] = rp.reshape(T1 // 2, 2, N2).sum(1)
@@ -1202,9 +1265,12 @@ def fused_chain_down_2d(
     PRODUCTION time (one XLA broadcast) and the kernel only repeats the
     leading axis.  ``xsum`` is xpy summed over axis 1 (shape
     (N0, 1, N2)); ``zsum`` is the (1, 1, N2) sum over the zf input
-    (``sum(P0 z) = 2 * sum(zf)``)."""
+    (``sum(P0 z) = 2 * sum(zf)``).  ``b=None`` declares a zero RHS
+    (prior sampling) and drops the whole b stream — no window DMA, and
+    bit-identical results to streaming explicit zeros."""
     from parmgmc_tpu.kernels.rb_gibbs import _tile2d_auto
 
+    with_b = b is not None
     N0, N1, N2 = x.shape
     if n0_global is None:
         n0_global = N0
@@ -1222,10 +1288,11 @@ def fused_chain_down_2d(
     # compiler reports ~15.4 window-equivalents of scoped VMEM on the
     # zf path (126.5M at a (16,96) tile vs the 124M limit) — ~3.4
     # windows of temporaries beyond the non-z calibration, independent
-    # of how the prolong-add is chunked.
-    T0, T1 = _tile2d_auto(
-        N0, N1, N2, streams=10 if with_z else 5, requested=tile2d, h0=2 * H0
-    )
+    # of how the prolong-add is chunked.  Dropping the b stream removes
+    # both its double-buffered window slots (the final residual stages
+    # through rt either way).
+    streams = (10 if with_z else 5) - (0 if with_b else 2)
+    T0, T1 = _tile2d_auto(N0, N1, N2, streams, requested=tile2d, h0=2 * H0)
     W0, W1 = T0 + 2 * H0, min(T1 + 2 * _JB2, N1)
     if N0 % T0 or T0 % 2 or N0 < W0:
         raise ValueError(f"bad axis-0 tile {T0} for {N0}")
@@ -1259,13 +1326,17 @@ def fused_chain_down_2d(
         with_z=with_z,
         with_xsum=with_xsum,
         with_zsum=with_zsum,
+        with_b=with_b,
     )
     win2 = pltpu.VMEM((2, W0, W1, N2), jnp.float32)
     win = pltpu.VMEM((W0, W1, N2), jnp.float32)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    in_specs = [smem, smem, any_spec, any_spec]
-    args = [fscal, iscal, x, b]
+    in_specs = [smem, smem, any_spec]
+    args = [fscal, iscal, x]
+    if with_b:
+        in_specs.append(any_spec)
+        args.append(b)
     if with_z:
         in_specs.append(any_spec)
         args.append(zf)
@@ -1297,10 +1368,11 @@ def fused_chain_down_2d(
             )
         )
         out_shape.append(jax.ShapeDtypeStruct((1, 1, N2), jnp.float32))
-    scratch = [win2, win2, win]
+    scratch = [win2] + ([win2] if with_b else []) + [win]
     if with_z:
         scratch.append(pltpu.VMEM((2, W0 // 2, W1, N2), jnp.float32))
-    scratch.append(pltpu.SemaphoreType.DMA((3 if with_z else 2, 2)))
+    n_sem = (1 if with_b else 0) + (1 if with_z else 0) + 1
+    scratch.append(pltpu.SemaphoreType.DMA((n_sem, 2)))
     out = pl.pallas_call(
         kern,
         grid=(N0 // T0, N1 // T1),

@@ -236,7 +236,12 @@ class MGMCSampler:
         return x
 
     def step_with_noise(self, x, b, noises):
-        """y <- y + M_mg(b - A y) — the state-carrying Richardson update."""
+        """y <- y + M_mg(b - A y) — the state-carrying Richardson update.
+
+        ``b=None`` means a zero RHS (prior sampling): equivalent to
+        passing explicit zeros."""
+        if b is None:
+            b = jnp.zeros_like(x)
         r = b - self.fine_op.apply(x)
         return x + self._cycle(0, r, noises)
 
@@ -615,7 +620,7 @@ class MGMCSampler:
         cycle options but no FMG *start* (pc_gamgmc.c settles for
         ``-pc_mg_cycle_type``), so this exceeds parity.
         """
-        bs = [b]
+        bs = [jnp.zeros(self.grid_shape, self.dtype) if b is None else b]
         for l in range(self.n_levels - 1):
             bs.append(self.transfers[l].restrict(bs[-1]))
         x = jnp.zeros_like(bs[-1])
@@ -633,6 +638,11 @@ class MGMCSampler:
         return None
 
     def step(self, key, x, b, aux=None):
+        """One chain step.  ``b=None`` declares a zero RHS (prior
+        sampling): the fused chain kernel then skips the b HBM stream
+        entirely (kernels.mg_sweep ``with_b=False``); other paths
+        substitute explicit zeros.  Samples are bit-identical to
+        passing ``jnp.zeros_like(x)``."""
         key, sub = jax.random.split(key)
         if any(
             getattr(s, "impl", "lax") in ("fused", "fused_fd")
@@ -646,7 +656,8 @@ class MGMCSampler:
                 sub, sub2 = jax.random.split(sub)
                 z1 = self._cycle_keyed(1, rc, sub2)
                 return key, xpy + self.transfers[0].prolong(z1)
-            r = b - self.fine_op.apply(x)
+            bz = jnp.zeros_like(x) if b is None else b
+            r = bz - self.fine_op.apply(x)
             if self._down_fused_eligible(0):
                 # Chain kernel needs N0 % 4 == 0; fall back to the v1
                 # down kernel with the state add fused by XLA.

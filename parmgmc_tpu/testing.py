@@ -37,10 +37,14 @@ def _flatten_shapes(shapes):
 
 
 def transition_matrices(sampler, b):
-    """Return (G, K, h): x' = G x + K eta + h for the given fixed b."""
+    """Return (G, K, h): x' = G x + K eta + h for the given fixed b.
+
+    ``b=None`` probes the zero-RHS (prior sampling) contract samplers
+    expose: the step is differentiated with b=None passed through, so
+    any fast path it triggers is what gets verified."""
     gshape = sampler.grid_shape
     n = math.prod(gshape)
-    dtype = b.dtype
+    dtype = sampler.dtype if b is None else b.dtype
     shapes, treedef, sizes = _flatten_shapes(sampler.noise_shapes())
     ntot = sum(sizes)
 
@@ -68,7 +72,7 @@ def invariance_error(sampler, op, b):
     A = op.to_dense()
     n = A.shape[0]
     Ainv = jnp.linalg.solve(A, jnp.eye(n, dtype=A.dtype))
-    mu = Ainv @ b.reshape(n)
+    mu = Ainv @ (jnp.zeros(n, A.dtype) if b is None else b.reshape(n))
     mean_err = jnp.max(jnp.abs(G @ mu + h - mu))
     cov_err = jnp.max(jnp.abs(G @ Ainv @ G.T + K @ K.T - Ainv))
     scale = jnp.max(jnp.abs(Ainv))

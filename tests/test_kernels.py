@@ -352,6 +352,104 @@ def test_fused_chain_down_2d_deferred_z():
         assert float(jnp.abs(zsum[0, 0, :] - want_zsum).max()) < 1e-3
 
 
+def test_fused_chain_down_zero_rhs():
+    """b=None (zero RHS, the prior-sampling flagship): both chain
+    kernels must be BIT-identical to streaming explicit zeros, in plain
+    and deferred-z (+xsum/zsum) modes — kernels.mg_sweep with_b=False
+    drops the whole b stream."""
+    from parmgmc_tpu.kernels.mg_sweep import (
+        fused_chain_down_2d,
+        fused_chain_down_fd,
+    )
+
+    shape = (16, 16, 128)
+    key = jax.random.PRNGKey(9)
+    x = jax.random.normal(key, shape, jnp.float32)
+    z = jax.random.normal(
+        jax.random.fold_in(key, 2),
+        (shape[0] // 2, shape[1] // 2, shape[2] // 2),
+        jnp.float32,
+    )
+    zeros = jnp.zeros(shape, jnp.float32)
+    hinv2 = float((shape[0] - 1) ** 2)
+    coeffs = jnp.full((6,), -hinv2, jnp.float32)
+    kw = dict(sweep="forward", interpret=True, with_noise=False)
+
+    xpy_a, rq_a = fused_chain_down_fd(
+        x, zeros, coeffs, 1.0, hinv2, 1.0, 3, 5, **kw
+    )
+    xpy_b, rq_b = fused_chain_down_fd(
+        x, None, coeffs, 1.0, hinv2, 1.0, 3, 5, **kw
+    )
+    assert bool(jnp.all(xpy_a == xpy_b))
+    assert bool(jnp.all(rq_a == rq_b))
+
+    zx2 = jnp.broadcast_to(z[..., None], (*z.shape, 2)).reshape(
+        shape[0] // 2, shape[1] // 2, shape[2]
+    )
+    za = fused_chain_down_fd(
+        x, zeros, coeffs, 1.0, hinv2, 1.0, 3, 5,
+        zx2=zx2, with_xsum=True, with_zsum=True, **kw,
+    )
+    zb = fused_chain_down_fd(
+        x, None, coeffs, 1.0, hinv2, 1.0, 3, 5,
+        zx2=zx2, with_xsum=True, with_zsum=True, **kw,
+    )
+    for a, bb in zip(za, zb):
+        assert bool(jnp.all(a == bb))
+
+    shape2 = (16, 32, 128)
+    x2 = jax.random.normal(jax.random.fold_in(key, 3), shape2, jnp.float32)
+    zeros2 = jnp.zeros(shape2, jnp.float32)
+    zf = jnp.broadcast_to(
+        jax.random.normal(
+            jax.random.fold_in(key, 4),
+            (shape2[0] // 2, shape2[1] // 2, 1, shape2[2] // 2, 1),
+            jnp.float32,
+        ),
+        (shape2[0] // 2, shape2[1] // 2, 2, shape2[2] // 2, 2),
+    ).reshape(shape2[0] // 2, shape2[1], shape2[2])
+    for tile2d in ((4, 8), (8, 16)):
+        kw2 = dict(
+            sweep="forward", tile2d=tile2d, interpret=True, with_noise=False
+        )
+        a2 = fused_chain_down_2d(
+            x2, zeros2, coeffs, 1.0, hinv2, 1.0, 3, 5, **kw2
+        )
+        b2 = fused_chain_down_2d(
+            x2, None, coeffs, 1.0, hinv2, 1.0, 3, 5, **kw2
+        )
+        for a, bb in zip(a2, b2):
+            assert bool(jnp.all(a == bb)), tile2d
+        az = fused_chain_down_2d(
+            x2, zeros2, coeffs, 1.0, hinv2, 1.0, 3, 5,
+            zf=zf, with_xsum=True, with_zsum=True, **kw2,
+        )
+        bz = fused_chain_down_2d(
+            x2, None, coeffs, 1.0, hinv2, 1.0, 3, 5,
+            zf=zf, with_xsum=True, with_zsum=True, **kw2,
+        )
+        for a, bb in zip(az, bz):
+            assert bool(jnp.all(a == bb)), tile2d
+
+
+def test_mgmc_step_zero_rhs_matches_zeros():
+    """MGMCSampler.step / step_with_noise with b=None must reproduce the
+    explicit-zeros chain exactly (lax path; the kernel paths are covered
+    bitwise by test_fused_chain_down_zero_rhs and on-chip by
+    bench.py --selftest)."""
+    from parmgmc_tpu.samplers.mgmc import MGMCSampler
+
+    op = shifted_laplace_fd((8, 8, 8), 1.3, dtype=jnp.float32)
+    smp = MGMCSampler.create(op, n_levels=2, n_pre=1, n_post=1)
+    key = jax.random.PRNGKey(2)
+    x = jax.random.normal(key, op.grid_shape, jnp.float32)
+    zeros = jnp.zeros_like(x)
+    _, xa = smp.step(jax.random.PRNGKey(5), x, zeros)
+    _, xb = smp.step(jax.random.PRNGKey(5), x, None)
+    assert bool(jnp.all(xa == xb))
+
+
 def test_deferred_zf_layout_algebra():
     """The zf lazy-carry algebra (samplers.mgmc deferred_layout "zf"):
     the production broadcast + kernel leading-repeat must reconstruct

@@ -81,6 +81,16 @@ def test_mgmc_invariance():
     assert cov_err < TOL, f"cov fixed point violated: {cov_err}"
 
 
+def test_mgmc_zero_rhs_invariance():
+    """b=None (the prior-sampling contract: samplers treat a missing RHS
+    as exactly zero) must leave N(0, A^{-1}) invariant — this probes the
+    b=None branch of step_with_noise itself."""
+    op = make_op()
+    smp = MGMCSampler.create(op, n_levels=2, n_pre=1, n_post=1)
+    mean_err, cov_err = invariance_error(smp, op, None)
+    assert mean_err < TOL and cov_err < TOL
+
+
 def test_mgmc_v22_invariance():
     op = make_op()
     smp = MGMCSampler.create(op, n_levels=2, n_pre=2, n_post=2, sweep="symmetric")
