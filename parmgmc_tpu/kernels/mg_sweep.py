@@ -55,6 +55,7 @@ __all__ = [
     "fused_zero_gibbs_restrict_fd",
     "fused_chain_down_fd",
     "fused_chain_down_2d",
+    "fused_chain_down_2d_staged",
 ]
 
 _TWO_PI = 6.283185307179586
@@ -1228,7 +1229,7 @@ def _kernel_chain_2d(
     jax.jit,
     static_argnames=(
         "sweep", "tile2d", "interpret", "with_noise", "n0_global",
-        "with_xsum", "with_zsum",
+        "with_xsum", "with_zsum", "staged",
     ),
 )
 def fused_chain_down_2d(
@@ -1250,11 +1251,18 @@ def fused_chain_down_2d(
     zf=None,  # (N0//2, N1, N2) leading-compressed coarse correction
     with_xsum: bool = False,
     with_zsum: bool = False,
+    staged: "bool | None" = None,
 ):
     """(xpy, rq[, xsum][, zsum]): 2D-tiled fused chain-level MGMC
     down-phase — the large-plane counterpart of
     :func:`fused_chain_down_fd` (same outputs,
     ``rc = rq.reshape(n0/2, n1/2, n2/2, 2).sum(-1)``).
+
+    ``staged=None`` auto-routes to :func:`fused_chain_down_2d_staged`
+    (same results, no axis-0 halo recompute) whenever no explicit
+    ``tile2d`` was requested and a staged tile is feasible; ``staged``
+    True/False forces the choice (an explicit ``tile2d`` then names a
+    tile for the chosen variant).
 
     ``zf`` defers the previous cycle's fine prolong-add into this kernel
     like the whole-plane kernel's ``zx2``, but in the ``zf`` layout:
@@ -1281,6 +1289,33 @@ def fused_chain_down_2d(
         raise ValueError("with_zsum requires zf")
     if with_z and zf.shape != (N0 // 2, N1, N2):
         raise ValueError(f"zf must be {(N0 // 2, N1, N2)}, got {zf.shape}")
+    if staged is None:
+        try:
+            _tile2d_staged(N0, N1, N2, with_b=with_b, with_z=with_z)
+            staged = tile2d is None
+        except ValueError:
+            staged = False
+    if staged:
+        return fused_chain_down_2d_staged(
+            x,
+            b,
+            coeffs,
+            kappa2,
+            hinv2,
+            omega,
+            seed,
+            step,
+            noise_mult=noise_mult,
+            sweep=sweep,
+            tile2d=tile2d,
+            interpret=interpret,
+            with_noise=with_noise,
+            row_offset=row_offset,
+            n0_global=n0_global,
+            zf=zf,
+            with_xsum=with_xsum,
+            with_zsum=with_zsum,
+        )
     H0 = 4
     # x/b windows are double-buffered (2 slots each) + the rt window;
     # the two zf window slots are half-height, so they count as one.
@@ -1386,10 +1421,618 @@ def fused_chain_down_2d(
     return tuple(out)
 
 
+# ---------------------------------------------------------------------------
+# v4: STAGED-SLAB 2D chain down-phase.
+#
+# The windowed v3 kernel above recomputes every pipeline stage over a
+# halo-extended (T0+8, T1+16) window per tile — 1.875x window
+# amplification (DMA bytes AND VPU phase work) at the 768^3 (16,64)
+# tile.  This variant applies the 1D chain kernel's staged-slab
+# dataflow (see _kernel_chain) along axis 0 *within a column strip*:
+# the grid is (N1//T1, N0//T0 + 1) with the axis-0 index INNERMOST, so
+# each strip walks down the grid carrying 2 rows per stage in scratch —
+# every stage row is computed exactly once, and the DMA fetches each
+# (T0, W1) block exactly once (no axis-0 halo re-fetch).  Only the
+# in-plane halo remains: amplification drops to ~W1/T1 (1.125 at
+# T1=128) plus the (T0+2)/T0 stage-carry overlap.
+#
+# Same formulas, same (row-pair, j-block)-keyed noise as v3, so results
+# match the windowed kernel exactly in interpret mode and statistically
+# on chip.  xsum/zsum are emitted as PER-STRIP partials (a strip cannot
+# accumulate into a block another strip revisits later); the wrapper
+# sums the (G1, ...) leading axis — one tiny XLA reduction.
+# ---------------------------------------------------------------------------
+
+
+def _tile2d_staged(N0, N1, N2, *, with_b, with_z, requested=None):
+    """(T0, T1) for the staged kernel: minimise in-plane amplification
+    (W1/T1) times the stage-carry overlap ((T0+2)/T0), tie-broken
+    toward bigger tiles.  Caps mirror _tile2d_auto's MEASURED Mosaic
+    limits (slab volume in place of window volume)."""
+    if requested is not None:
+        return requested
+    from parmgmc_tpu.kernels.rb_gibbs import VMEM_LIMIT
+
+    # VMEM rows (units of one (W1, N2) f32 plane): DMA buffers 2*T0
+    # (+2*T0 b, +T0 z) + stage scratch 4*(T0+2) + xprev T0 (+bprev T0)
+    # + prow 4 + out blocks ~1.5*T0 + ~6 slab temporaries of (T0+2).
+    a = 13.5 + (3 if with_b else 0) + (1 if with_z else 0)
+    c = 32
+    best = None
+    for T0 in (24, 16, 8, 4):
+        if N0 % T0 or N0 < 2 * T0:
+            continue
+        for T1 in range(N1, _JB2 - 1, -_JB2):
+            if N1 % T1:
+                continue
+            W1 = min(T1 + 2 * _JB2, N1)
+            if W1 % _JB2:
+                continue
+            vol = (T0 + 2) * W1 * N2
+            if vol > (3_200_000 if W1 <= 144 else 2_400_000):
+                continue
+            if (a * T0 + c) * W1 * N2 * 4 > VMEM_LIMIT:
+                continue
+            key = ((T0 + 2) / T0 * W1 / T1, -T0 * T1)
+            if best is None or key < best[0]:
+                best = (key, (T0, T1))
+    if best is None:
+        raise ValueError(
+            f"no feasible staged 2D tile for grid ({N0}, {N1}, {N2})"
+        )
+    return best[1]
+
+
+def _kernel_chain_2d_staged(
+    fscal_ref,  # SMEM (10,) f32: omega, c0lo..c2hi, noise_mult, kappa2, hinv2
+    iscal_ref,  # SMEM (4,) i32: seed, color0, step, row_off
+    *refs,
+    T0: int,
+    T1: int,
+    shape: tuple,
+    with_noise: bool,
+    n0_global: int,
+    with_z: bool = False,
+    with_xsum: bool = False,
+    with_zsum: bool = False,
+    with_b: bool = True,
+):
+    """Ref layout (after the two SMEM scalars), in pallas_call order:
+
+    inputs   x_hbm, [b_hbm]    ANY (N0, N1, N2)
+             [z_hbm]           ANY (N0//2, N1, N2) zf layout (leading
+                               axis compressed only — see v3)
+    outputs  xpy_ref           VMEM (T0, T1, N2) block (max(i0-1,0), i1)
+             rq_ref            VMEM (T0//2, T1//2, N2) same block
+             [xsum_ref]        VMEM (1, T0, 1, N2) block (i1,
+                               max(i0-1,0), 0, 0): PER-STRIP axis-1
+                               partial sums of xpy
+             [zsum_ref]        VMEM (1, 1, 1, N2) block (i1, 0, 0, 0):
+                               per-strip sums of the z tile regions
+    scratch  xdma, [bdma]      (2, T0, W1, N2) double-buffered blocks
+             [zdma]            (2, T0//2, W1, N2)
+             xw2               (T0+2, W1, N2) x slab window
+             axw, y0w, yw      (T0+2, W1, N2) stage slabs + 2-row carry
+             xprev, [bprev]    (T0, W1, N2) previous block (x z-added)
+             prow              (4, W1, N2) strip prologue rows
+             sem               DMA semaphores (n_streams, 2)
+
+    Stage row spans per produced tile j = i0 - 1 (strip-local columns,
+    global rows): xw2 jT0+1..jT0+T0+2, axw/y0w jT0..jT0+T0+1,
+    yw jT0-1..jT0+T0 — exactly the 1D staged kernel's layout (see
+    _kernel_chain) over a W1-wide column window."""
+    x_hbm = refs[0]
+    k = 1
+    b_hbm = refs[k] if with_b else None
+    k += 1 if with_b else 0
+    z_hbm = refs[k] if with_z else None
+    k += 1 if with_z else 0
+    xpy_ref, rq_ref = refs[k], refs[k + 1]
+    k += 2
+    xsum_ref = refs[k] if with_xsum else None
+    k += 1 if with_xsum else 0
+    zsum_ref = refs[k] if with_zsum else None
+    k += 1 if with_zsum else 0
+    xdma = refs[k]
+    k += 1
+    bdma = refs[k] if with_b else None
+    k += 1 if with_b else 0
+    zdma = refs[k] if with_z else None
+    k += 1 if with_z else 0
+    xw2, axw, y0w, yw, xprev = refs[k : k + 5]
+    k += 5
+    bprev = refs[k] if with_b else None
+    k += 1 if with_b else 0
+    prow = refs[k]
+    sem = refs[k + 1]
+
+    N0, N1, N2 = shape
+    N0G = n0_global
+    G0 = N0 // T0
+    G1 = N1 // T1
+    W1 = min(T1 + 2 * _JB2, N1)
+    i1 = pl.program_id(0)
+    i0 = pl.program_id(1)  # innermost: strips walk down axis 0
+    t = i1 * (G0 + 1) + i0
+    slot = t % 2  # consecutive grid steps alternate across strips too
+    j = i0 - 1  # tile being produced
+    jT = j * T0
+    s1 = pl.multiple_of(jnp.clip(i1 * T1 - _JB2, 0, N1 - W1), _JB2)
+    base1 = pl.multiple_of(i1 * T1 - s1, _JB2)
+
+    def copies(i1t, i0t, sl):
+        s1t = pl.multiple_of(jnp.clip(i1t * T1 - _JB2, 0, N1 - W1), _JB2)
+        r0t = pl.multiple_of(jnp.minimum(i0t, G0 - 1) * T0, 2)
+        cps = [
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(r0t, T0), pl.ds(s1t, W1)],
+                xdma.at[sl],
+                sem.at[0, sl],
+            )
+        ]
+        if with_b:
+            cps.append(
+                pltpu.make_async_copy(
+                    b_hbm.at[pl.ds(r0t, T0), pl.ds(s1t, W1)],
+                    bdma.at[sl],
+                    sem.at[1, sl],
+                )
+            )
+        if with_z:
+            cps.append(
+                pltpu.make_async_copy(
+                    z_hbm.at[pl.ds(r0t // 2, T0 // 2), pl.ds(s1t, W1)],
+                    zdma.at[sl],
+                    sem.at[2 if with_b else 1, sl],
+                )
+            )
+        return cps
+
+    @pl.when(t == 0)
+    def _first():
+        for c in copies(0, 0, 0):
+            c.start()
+
+    @pl.when(t + 1 < G1 * (G0 + 1))
+    def _prefetch():
+        i0n = i0 + 1
+        wrap = i0n > G0
+        i1n = jnp.where(wrap, i1 + 1, i1)
+        i0n = jnp.where(wrap, 0, i0n)
+        for c in copies(i1n, i0n, 1 - slot):
+            c.start()
+
+    for c in copies(i1, i0, slot):
+        c.wait()
+
+    omega = fscal_ref[0]
+    noise_mult = fscal_ref[7]
+    kappa2 = fscal_ref[8]
+    hinv2 = fscal_ref[9]
+    seed = iscal_ref[0]
+    color0 = iscal_ref[1]
+    step = iscal_ref[2]
+    row_off = iscal_ref[3]
+    su = seed.astype(jnp.uint32)
+    stepu = step.astype(jnp.uint32)
+    nscale = jnp.sqrt((2.0 - omega) / omega) * noise_mult
+
+    c0lo, c0hi = fscal_ref[1], fscal_ref[2]
+    c1lo, c1hi = fscal_ref[3], fscal_ref[4]
+    c2lo, c2hi = fscal_ref[5], fscal_ref[6]
+
+    # ---- strip geometry: global columns jg = s1 + jj, global rows
+    # g = jT + off + row_off + ll (s1 8-aligned, T0/row_off even, so
+    # parity reduces to (ll + off + jj + kk) % 2) ----------------------
+    jj = jax.lax.broadcasted_iota(jnp.int32, (W1, N2), 0)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (W1, N2), 1)
+    jg = s1 + jj
+    plane_par = (jg + kk) % 2
+    links_inplane = (
+        (jg >= 1).astype(jnp.float32)
+        + (jg <= N1 - 2).astype(jnp.float32)
+        + (kk >= 1).astype(jnp.float32)
+        + (kk <= N2 - 2).astype(jnp.float32)
+    )
+
+    def diag_row(g):
+        gg = g + row_off
+        up_ok = (gg >= 1).astype(jnp.float32)
+        dn_ok = (gg <= N0G - 2).astype(jnp.float32)
+        return kappa2 + hinv2 * (links_inplane + up_ok + dn_ok)
+
+    def geom(w, off):
+        """(par3, diag3, up_ok3, dn_ok3) for a w-row slab whose row 0 is
+        global row jT + off + row_off (off a static int)."""
+        ll3 = jax.lax.broadcasted_iota(jnp.int32, (w, W1, N2), 0)
+        g3 = (jT + off + row_off) + ll3
+        par3 = (ll3 + (off % 2) + plane_par[None]) % 2
+        up_ok3 = (g3 >= 1).astype(jnp.float32)
+        dn_ok3 = (g3 <= N0G - 2).astype(jnp.float32)
+        diag3 = kappa2 + hinv2 * (links_inplane[None] + up_ok3 + dn_ok3)
+        return par3, diag3, up_ok3, dn_ok3
+
+    def neigh_sum(v3, w, up_ok3, dn_ok3):
+        return (
+            c0lo * up_ok3 * _shift_plane(v3, 0, -1, w)
+            + c0hi * dn_ok3 * _shift_plane(v3, 0, 1, w)
+            + c1lo * _shift_plane(v3, 1, -1, W1)
+            + c1hi * _shift_plane(v3, 1, 1, W1)
+            + c2lo * _shift_plane(v3, 2, -1, N2)
+            + c2hi * _shift_plane(v3, 2, 1, N2)
+        )
+
+    nq = W1 // _JB2
+    kkb = jax.lax.broadcasted_iota(jnp.int32, (_JB2, N2), 1)
+    lanes_ip = (kkb >= 1).astype(jnp.float32) + (kkb <= N2 - 2).astype(
+        jnp.float32
+    )
+    jlb = jax.lax.broadcasted_iota(jnp.int32, (_JB2, N2), 0)
+
+    def add_noise(row_lo, g_lo, n_pairs):
+        """Add (row-pair, j-block)-keyed noise to y0w rows
+        [row_lo, row_lo + 2*n_pairs) = global rows [g_lo, ...), one
+        Box-Muller evaluation per (pair, block) — identical keying to
+        the windowed v3 kernel."""
+
+        def blk(tq, _):
+            c = tq // nq
+            q = tq - c * nq
+            l = row_lo + 2 * c
+            off = q * _JB2
+            g = g_lo + row_off + 2 * c
+            jb = s1 // _JB2 + q
+            ee, eo = _eta_pair_blk(su, stepu, g, jb, N2)
+            jgb = jlb + (s1 + off)
+            links_ip = (
+                lanes_ip
+                + (jgb >= 1).astype(jnp.float32)
+                + (jgb <= N1 - 2).astype(jnp.float32)
+            )
+
+            def dslab(gr):
+                ok = (gr >= 1).astype(jnp.float32) + (
+                    gr <= N0G - 2
+                ).astype(jnp.float32)
+                return kappa2 + hinv2 * (links_ip + ok)
+
+            y0w[l, pl.ds(off, _JB2)] = y0w[l, pl.ds(off, _JB2)] + (
+                nscale * jnp.sqrt(dslab(g)) * ee
+            )
+            y0w[l + 1, pl.ds(off, _JB2)] = y0w[l + 1, pl.ds(off, _JB2)] + (
+                nscale * jnp.sqrt(dslab(g + 1)) * eo
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_pairs * nq, blk, 0, unroll=False)
+
+    @pl.when(i0 == 1)
+    def _prologue():
+        # Prime the stage carries for this strip: A x rows 0..1,
+        # r~/phase-0 rows 0..1, y row 0 (plus a zero "row -1" masked by
+        # up_ok) — same formulas/keying as the slabs (see _kernel_chain).
+        prow[0] = jnp.zeros((W1, N2), jnp.float32)
+        prow[1] = xprev[0]
+        prow[2] = xprev[1]
+        prow[3] = xprev[2]
+        _, diag4, up4, dn4 = geom(4, -1)  # rows -1..2 (jT = 0 here)
+        pv4 = prow[:]
+        axp = diag4 * pv4 + neigh_sum(pv4, 4, up4, dn4)
+        axw[0] = axp[1]
+        axw[1] = axp[2]
+        if with_b:
+            y0w[0] = bprev[0] - axp[1]
+            y0w[1] = bprev[1] - axp[2]
+        else:
+            y0w[0] = 0.0 - axp[1]
+            y0w[1] = 0.0 - axp[2]
+        if with_noise:
+            add_noise(0, 0, 1)
+        par2, diag2, _, _ = geom(2, 0)  # rows 0..1
+        v2 = y0w[pl.ds(0, 2)]
+        y0w[pl.ds(0, 2)] = jnp.where(
+            par2 == color0, (omega / diag2) * v2, v2
+        )
+        prow[0] = jnp.zeros((W1, N2), jnp.float32)
+        prow[1] = y0w[0]
+        prow[2] = y0w[1]
+        _, diag3p, up3p, dn3p = geom(3, -1)  # rows -1..1
+        pv3 = prow[pl.ds(0, 3)]
+        updp = (omega / diag3p) * (pv3 - neigh_sum(pv3, 3, up3p, dn3p))
+        yw[0] = jnp.zeros((W1, N2), jnp.float32)
+        yw[1] = jnp.where(plane_par == (1 - color0), updp[1], y0w[0])
+
+    @pl.when(i0 > 0)
+    def _compute():
+        # ---- fresh x slab window: rows jT+1 .. jT+T0+2 ------------------
+        xw2[pl.ds(0, T0 - 1)] = xprev[pl.ds(1, T0 - 1)]
+        if with_z:
+            zl = zdma[slot, pl.ds(0, 2)]  # z rows for fine rows 0..3
+            xw2[T0 - 1] = xdma[slot, 0] + zl[0]
+            xw2[T0] = xdma[slot, 1] + zl[0]
+            xw2[T0 + 1] = xdma[slot, 2] + zl[1]
+        else:
+            xw2[T0 - 1] = xdma[slot, 0]
+            xw2[T0] = xdma[slot, 1]
+            xw2[T0 + 1] = xdma[slot, 2]
+
+        # ---- (A x) fresh slab rows jT+2 .. jT+T0+1 ----------------------
+        _, diagx, upx, dnx = geom(T0 + 2, 1)
+        xv = xw2[:]
+        axv = diagx * xv + neigh_sum(xv, T0 + 2, upx, dnx)
+        axw[pl.ds(2, T0)] = axv[1 : T0 + 1]
+
+        # ---- r~ = (b - A x) + noise, fresh rows jT+2 .. jT+T0+1 ----------
+        if with_b:
+            y0w[pl.ds(2, T0 - 2)] = (
+                bprev[pl.ds(2, T0 - 2)] - axw[pl.ds(2, T0 - 2)]
+            )
+            y0w[pl.ds(T0, 2)] = bdma[slot, pl.ds(0, 2)] - axw[pl.ds(T0, 2)]
+        else:
+            y0w[pl.ds(2, T0)] = 0.0 - axw[pl.ds(2, T0)]
+        if with_noise:
+            add_noise(2, jT + 2, T0 // 2)
+
+        # ---- phase 0 IN PLACE on the fresh slab --------------------------
+        par0, diag0, _, _ = geom(T0, 2)
+        v0 = y0w[pl.ds(2, T0)]
+        y0w[pl.ds(2, T0)] = jnp.where(
+            par0 == color0, (omega / diag0) * v0, v0
+        )
+
+        # ---- phase 1: fresh rows jT+1 .. jT+T0 from the y0 window --------
+        par1w, diag1w, up1w, dn1w = geom(T0 + 2, 0)
+        y0v = y0w[:]
+        upd = (omega / diag1w) * (y0v - neigh_sum(y0v, T0 + 2, up1w, dn1w))
+        sel = jnp.where(par1w == (1 - color0), upd, y0v)
+        yw[pl.ds(2, T0)] = sel[1 : T0 + 1]
+
+        # ---- outputs from the assembled y window rows jT-1 .. jT+T0 ------
+        _, diagy, upy, dny = geom(T0 + 2, -1)
+        yv = yw[:]
+        ayv = diagy * yv + neigh_sum(yv, T0 + 2, upy, dny)
+        out = (
+            xprev[:, pl.ds(base1, T1)]
+            + yw[pl.ds(1, T0), pl.ds(base1, T1)]
+        )
+        xpy_ref[:] = out
+        if with_xsum:
+            xsum_ref[0, :, 0, :] = out.sum(axis=1)
+
+        # ---- restricted residual r = (b - A x) - A y on output rows ------
+        # staged through xw2 (dead once axv is read): the tile column
+        # slice must be a ref read, and the two separate writes pin the
+        # arithmetic order so with_b=False stays bit-identical to
+        # streaming explicit zeros (see v3).
+        if with_b:
+            xw2[pl.ds(0, T0)] = bprev[:] - axw[pl.ds(0, T0)]
+        else:
+            xw2[pl.ds(0, T0)] = 0.0 - axw[pl.ds(0, T0)]
+        xw2[pl.ds(0, T0)] = xw2[pl.ds(0, T0)] - ayv[1 : T0 + 1]
+        r2t = xw2[pl.ds(0, T0), pl.ds(base1, T1)]
+        for c in range(T0 // 2):  # static unroll (no dynamic value slice)
+            rp = r2t[2 * c] + r2t[2 * c + 1]
+            rq_ref[c] = rp.reshape(T1 // 2, 2, N2).sum(1)
+
+        # ---- carry the 2 rows the next tile's windows need ---------------
+        axw[pl.ds(0, 2)] = axw[pl.ds(T0, 2)]
+        y0w[pl.ds(0, 2)] = y0w[pl.ds(T0, 2)]
+        yw[pl.ds(0, 2)] = yw[pl.ds(T0, 2)]
+
+    @pl.when(i0 == 0)
+    def _init():
+        xpy_ref[:] = xdma[slot, :, pl.ds(base1, T1)]  # overwritten at i0=1
+        rq_ref[:] = jnp.zeros((T0 // 2, T1 // 2, N2), jnp.float32)
+        if with_xsum:
+            xsum_ref[:] = jnp.zeros((1, T0, 1, N2), jnp.float32)
+
+    @pl.when(i0 < G0)
+    def _slide():
+        # with_z: the deferred prolong-add lands here, once per block —
+        # xprev holds x = xpy_prev + P z (row-pair slabs bound the
+        # broadcast temporaries, see v3)
+        if with_z:
+            for m in range(T0 // 2):
+                zrow = zdma[slot, m]
+                xprev[pl.ds(2 * m, 2)] = xdma[
+                    slot, pl.ds(2 * m, 2)
+                ] + jnp.broadcast_to(zrow[None], (2, W1, N2))
+        else:
+            xprev[:] = xdma[slot]
+        if with_b:
+            bprev[:] = bdma[slot]
+
+    if with_zsum:
+        # accumulate at slide steps: z blocks 0..G0-1 each fetched
+        # exactly once per strip there; the tile column region [base1,
+        # base1+T1) partitions z columns across strips
+        @pl.when(i0 == 0)
+        def _zsum_init():
+            zsum_ref[:] = zdma[slot, :, pl.ds(base1, T1)].sum(
+                axis=(0, 1), keepdims=True
+            )[None]
+
+        @pl.when(jnp.logical_and(i0 > 0, i0 < G0))
+        def _zsum_acc():
+            zsum_ref[:] = zsum_ref[:] + zdma[
+                slot, :, pl.ds(base1, T1)
+            ].sum(axis=(0, 1), keepdims=True)[None]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sweep", "tile2d", "interpret", "with_noise", "n0_global",
+        "with_xsum", "with_zsum",
+    ),
+)
+def fused_chain_down_2d_staged(
+    x,
+    b,
+    coeffs,  # (6,) f32
+    kappa2,
+    hinv2,
+    omega,
+    seed,
+    step,
+    noise_mult=1.0,
+    sweep: str = "forward",
+    tile2d: "tuple | None" = None,
+    interpret: bool = False,
+    with_noise: bool = True,
+    row_offset=0,  # global row of array row 0 (traced; shard_map use)
+    n0_global: "int | None" = None,
+    zf=None,  # (N0//2, N1, N2) leading-compressed coarse correction
+    with_xsum: bool = False,
+    with_zsum: bool = False,
+):
+    """(xpy, rq[, xsum][, zsum]): STAGED-SLAB 2D chain down-phase.
+
+    Same contract and noise keying as :func:`fused_chain_down_2d` —
+    results are identical (interpret-mode exact) — but the grid is
+    (N1//T1, N0//T0 + 1) with axis 0 INNERMOST so each column strip
+    walks down the grid carrying 2-row stage scratch, eliminating the
+    windowed kernel's axis-0 halo re-fetch and recompute (the 1D
+    staged-slab dataflow of :func:`fused_chain_down_fd` over a W1-wide
+    column window).  ``xsum``/``zsum`` are emitted per strip and summed
+    here (one tiny XLA reduction)."""
+    with_b = b is not None
+    N0, N1, N2 = x.shape
+    if n0_global is None:
+        n0_global = N0
+    if N0 % 2 or N1 % 2 or N2 % 2:
+        raise ValueError("restriction needs even dims")
+    with_z = zf is not None
+    if with_zsum and not with_z:
+        raise ValueError("with_zsum requires zf")
+    if with_z and zf.shape != (N0 // 2, N1, N2):
+        raise ValueError(f"zf must be {(N0 // 2, N1, N2)}, got {zf.shape}")
+    T0, T1 = _tile2d_staged(
+        N0, N1, N2, with_b=with_b, with_z=with_z, requested=tile2d
+    )
+    W1 = min(T1 + 2 * _JB2, N1)
+    if N0 % T0 or T0 % 2 or T0 < 4 or N0 < 2 * T0:
+        raise ValueError(f"bad axis-0 tile {T0} for {N0}")
+    if N1 % T1 or T1 % _JB2 or W1 % _JB2:
+        raise ValueError(f"bad axis-1 tile {T1} for {N1}")
+    G0, G1 = N0 // T0, N1 // T1
+    color0 = 0 if sweep == "forward" else 1
+
+    fscal = jnp.concatenate(
+        [
+            jnp.asarray([omega], jnp.float32),
+            jnp.asarray(coeffs, jnp.float32).reshape(6),
+            jnp.asarray([noise_mult, kappa2, hinv2], jnp.float32),
+        ]
+    )
+    iscal = jnp.stack(
+        [
+            jnp.asarray(seed, jnp.int32),
+            jnp.asarray(color0, jnp.int32),
+            jnp.asarray(step, jnp.int32),
+            jnp.asarray(row_offset, jnp.int32),
+        ]
+    )
+
+    kern = functools.partial(
+        _kernel_chain_2d_staged,
+        T0=T0,
+        T1=T1,
+        shape=(N0, N1, N2),
+        with_noise=with_noise,
+        n0_global=n0_global,
+        with_z=with_z,
+        with_xsum=with_xsum,
+        with_zsum=with_zsum,
+        with_b=with_b,
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [smem, smem, any_spec]
+    args = [fscal, iscal, x]
+    if with_b:
+        in_specs.append(any_spec)
+        args.append(b)
+    if with_z:
+        in_specs.append(any_spec)
+        args.append(zf)
+    produced = lambda i1, i0: (jnp.maximum(i0 - 1, 0), i1, 0)
+    out_specs = [
+        pl.BlockSpec((T0, T1, N2), produced, memory_space=pltpu.VMEM),
+        pl.BlockSpec((T0 // 2, T1 // 2, N2), produced, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32),
+        jax.ShapeDtypeStruct((N0 // 2, N1 // 2, N2), jnp.float32),
+    ]
+    if with_xsum:
+        # per-strip axis-1 partials: (G1, N0, 1, N2), summed below
+        out_specs.append(
+            pl.BlockSpec(
+                (1, T0, 1, N2),
+                lambda i1, i0: (i1, jnp.maximum(i0 - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((G1, N0, 1, N2), jnp.float32))
+    if with_zsum:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, 1, N2),
+                lambda i1, i0: (i1, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((G1, 1, 1, N2), jnp.float32))
+    scratch = [pltpu.VMEM((2, T0, W1, N2), jnp.float32)]  # xdma
+    if with_b:
+        scratch.append(pltpu.VMEM((2, T0, W1, N2), jnp.float32))  # bdma
+    if with_z:
+        scratch.append(pltpu.VMEM((2, T0 // 2, W1, N2), jnp.float32))  # zdma
+    scratch += [
+        pltpu.VMEM((T0 + 2, W1, N2), jnp.float32),  # xw2
+        pltpu.VMEM((T0 + 2, W1, N2), jnp.float32),  # axw
+        pltpu.VMEM((T0 + 2, W1, N2), jnp.float32),  # y0w
+        pltpu.VMEM((T0 + 2, W1, N2), jnp.float32),  # yw
+        pltpu.VMEM((T0, W1, N2), jnp.float32),  # xprev
+    ]
+    if with_b:
+        scratch.append(pltpu.VMEM((T0, W1, N2), jnp.float32))  # bprev
+    scratch.append(pltpu.VMEM((4, W1, N2), jnp.float32))  # prow
+    n_sem = 1 + (1 if with_b else 0) + (1 if with_z else 0)
+    scratch.append(pltpu.SemaphoreType.DMA((n_sem, 2)))
+    out = pl.pallas_call(
+        kern,
+        grid=(G1, G0 + 1),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(*args)
+    out = list(out)
+    k = 2
+    if with_xsum:
+        out[k] = out[k].sum(axis=0)  # (N0, 1, N2)
+        k += 1
+    if with_zsum:
+        out[k] = out[k].sum(axis=0)  # (1, 1, N2)
+    return tuple(out)
+
+
 def chain_down_2d_supported(shape) -> bool:
-    """Can :func:`fused_chain_down_2d` serve this grid?  (Stricter than
-    the sweep probe: the chain window carries a 4-row axis-0 halo each
-    side, so N0 >= T0 + 8.)"""
+    """Can :func:`fused_chain_down_2d` serve this grid?  Either variant
+    will do: the staged-slab kernel (preferred) needs N0 a multiple of
+    an even T0 >= 4 with N0 >= 2 T0; the windowed kernel carries a
+    4-row axis-0 halo each side, so N0 >= T0 + 8."""
+    try:
+        _tile2d_staged(
+            shape[0], shape[1], shape[2], with_b=True, with_z=True
+        )
+        return True
+    except ValueError:
+        pass
     try:
         from parmgmc_tpu.kernels.rb_gibbs import _tile2d_auto
 

@@ -213,6 +213,89 @@ def test_fused_chain_down_2d_matches_lax(sweep, tile2d):
     assert erc < 1e-4, erc
 
 
+@pytest.mark.parametrize("sweep", ["forward", "backward"])
+def test_fused_chain_down_2d_staged_matches_windowed(sweep):
+    """kernels.mg_sweep._kernel_chain_2d_staged: the staged-slab 2D
+    chain kernel must reproduce the windowed v3 kernel exactly
+    (deterministic path) in every option combination — plain, b=None,
+    deferred zf, and the xsum/zsum extras (per-strip partials summed by
+    the wrapper)."""
+    from parmgmc_tpu.kernels.mg_sweep import (
+        fused_chain_down_2d,
+        fused_chain_down_2d_staged,
+    )
+
+    shape = (16, 32, 128)
+    N0, N1, N2 = shape
+    key = jax.random.PRNGKey(29)
+    x = jax.random.normal(key, shape, jnp.float32)
+    b = jax.random.normal(jax.random.fold_in(key, 1), shape, jnp.float32)
+    z = jax.random.normal(
+        jax.random.fold_in(key, 2),
+        (N0 // 2, N1 // 2, 1, N2 // 2, 1),
+        jnp.float32,
+    )
+    zf = jnp.broadcast_to(z, (N0 // 2, N1 // 2, 2, N2 // 2, 2)).reshape(
+        N0 // 2, N1, N2
+    )
+    hinv2 = float((N0 - 1) ** 2)
+    coeffs = jnp.full((6,), -hinv2, jnp.float32)
+    kw = dict(sweep=sweep, interpret=True, with_noise=False)
+    for use_b, use_z in ((True, False), (False, True)):
+        zkw = dict(zf=zf, with_xsum=True, with_zsum=True) if use_z else {}
+        bb = b if use_b else None
+        ref = fused_chain_down_2d(
+            x, bb, coeffs, 1.0, hinv2, 1.0, 3, 5,
+            tile2d=(4, 8), staged=False, **kw, **zkw,
+        )
+        got = fused_chain_down_2d_staged(
+            x, bb, coeffs, 1.0, hinv2, 1.0, 3, 5, tile2d=(4, 8), **kw, **zkw,
+        )
+        for i, (u, v) in enumerate(zip(ref, got)):
+            assert u.shape == v.shape, (use_b, use_z, i)
+            d = float(jnp.abs(u - v).max())
+            rel = d / (float(jnp.abs(u).max()) + 1e-30)
+            assert rel < 1e-5, (use_b, use_z, i, rel)
+        # a second tiling must agree too (tile-boundary independence)
+        got2 = fused_chain_down_2d_staged(
+            x, bb, coeffs, 1.0, hinv2, 1.0, 3, 5, tile2d=(8, 16), **kw, **zkw,
+        )
+        for i, (u, v) in enumerate(zip(ref, got2)):
+            rel = float(jnp.abs(u - v).max()) / (
+                float(jnp.abs(u).max()) + 1e-30
+            )
+            assert rel < 1e-5, ("tile2", use_b, use_z, i, rel)
+
+
+def test_fused_chain_down_2d_staged_sharded_offsets():
+    """Staged 2D chain kernel under the parallel.fused contract: applied
+    to a 4-plane halo-extended local block with row_offset/n0_global it
+    must reproduce the interior of the full-grid down-phase."""
+    from parmgmc_tpu.kernels.mg_sweep import fused_chain_down_2d_staged
+
+    shape = (32, 32, 128)
+    op = shifted_laplace_fd(shape, 1.7, dtype=jnp.float32)
+    key = jax.random.PRNGKey(31)
+    x = jax.random.normal(key, shape, jnp.float32)
+    b = jax.random.normal(jax.random.fold_in(key, 1), shape, jnp.float32)
+    coeffs = jnp.asarray([float(c) for c in op.coeffs], jnp.float32)
+    hinv2 = -float(op.coeffs[0])
+    kw = dict(sweep="forward", interpret=True, with_noise=False)
+    xpy_full, rq_full = fused_chain_down_2d_staged(
+        x, b, coeffs, 1.7**2, hinv2, 1.0, 0, 0, tile2d=(4, 8), **kw
+    )
+    # shard rows [16:32) with a 4-plane halo, as _sharded_chain_down does
+    xl, bl = x[12:32], b[12:32]
+    xpy_l, rq_l = fused_chain_down_2d_staged(
+        xl, bl, coeffs, 1.7**2, hinv2, 1.0, 0, 0, tile2d=(4, 8),
+        row_offset=12, n0_global=32, **kw,
+    )
+    exy = float(jnp.abs(xpy_full[16:32] - xpy_l[4:]).max())
+    erq = float(jnp.abs(rq_full[8:16] - rq_l[2:]).max())
+    assert exy < 1e-5, exy
+    assert erq < 1e-4, erq
+
+
 @pytest.mark.parametrize("shape", [(10, 24, 128), (12, 40, 128), (8, 48, 256)])
 def test_fused_2d_sweep_odd_shapes(shape):
     """2D-tiled sweep across awkward tilings (non-power-of-2 N0, small
