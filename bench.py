@@ -1,4 +1,4 @@
-"""Headline benchmark: ESS/sec on a 256^3 GMRF with MGMC V(2,2).
+"""Headline benchmark: ESS/sec on a 256^3 GMRF with MGMC V(1,0).
 
 Mirrors the reference's benchmark harness semantics
 (``/root/reference/examples/benchmark/main.cc``): time-per-sample from a
@@ -105,7 +105,7 @@ def main():
     t0 = time.perf_counter()
     st, _ = run_time(sampler, st, b)
     force(st.x)
-    dt = (time.perf_counter() - t0) / N_TIME  # seconds per V(2,2) sample
+    dt = (time.perf_counter() - t0) / N_TIME  # seconds per V(1,0) sample
 
     # IACT chain in fixed-size chunks: a single on-device dispatch past
     # ~2 minutes crashes the axon worker ("TPU worker process crashed or

@@ -1444,13 +1444,17 @@ def fused_chain_down_2d(
 # ---------------------------------------------------------------------------
 
 
-def _tile2d_staged(N0, N1, N2, *, with_b, with_z, requested=None):
+def _tile2d_staged(N0, N1, N2, *, with_b, with_z, requested=None, t1_mult=_JB2):
     """(T0, T1) for the staged kernel: minimise in-plane amplification
     (W1/T1) times the stage-carry overlap ((T0+2)/T0), tie-broken
     toward bigger tiles.  Caps mirror _tile2d_auto's MEASURED Mosaic
-    limits (slab volume in place of window volume)."""
+    limits (slab volume in place of window volume).  ``t1_mult=16``
+    restricts to tiles whose z windows stay 16-aligned (the "zx2"
+    carry layout's compressed-sublane DMA constraint)."""
     if requested is not None:
         return requested
+    if t1_mult > _JB2 and N1 % t1_mult:
+        raise ValueError(f"N1 {N1} not a multiple of {t1_mult}")
     from parmgmc_tpu.kernels.rb_gibbs import VMEM_LIMIT
 
     # VMEM rows (units of one (W1, N2) f32 plane): DMA buffers 2*T0
@@ -1463,7 +1467,7 @@ def _tile2d_staged(N0, N1, N2, *, with_b, with_z, requested=None):
         if N0 % T0 or N0 < 2 * T0:
             continue
         for T1 in range(N1, _JB2 - 1, -_JB2):
-            if N1 % T1:
+            if N1 % T1 or T1 % t1_mult:
                 continue
             W1 = min(T1 + 2 * _JB2, N1)
             if W1 % _JB2:
@@ -1496,12 +1500,19 @@ def _kernel_chain_2d_staged(
     with_xsum: bool = False,
     with_zsum: bool = False,
     with_b: bool = True,
+    z_layout: str = "zf",
 ):
     """Ref layout (after the two SMEM scalars), in pallas_call order:
 
     inputs   x_hbm, [b_hbm]    ANY (N0, N1, N2)
-             [z_hbm]           ANY (N0//2, N1, N2) zf layout (leading
-                               axis compressed only — see v3)
+             [z_hbm]           ANY, the deferred coarse correction in
+                               ``z_layout`` form: "zf" (N0//2, N1, N2)
+                               (leading axis compressed only — see v3)
+                               or "zx2" (N0//2, N1//2, N2) (lanes
+                               pre-duplicated, sublanes compressed —
+                               the 1D kernel's layout; halves the z
+                               stream's HBM bytes; sublanes expand
+                               in-kernel through the zex scratch)
     outputs  xpy_ref           VMEM (T0, T1, N2) block (max(i0-1,0), i1)
              rq_ref            VMEM (T0//2, T1//2, N2) same block
              [xsum_ref]        VMEM (1, T0, 1, N2) block (i1,
@@ -1509,18 +1520,29 @@ def _kernel_chain_2d_staged(
                                partial sums of xpy
              [zsum_ref]        VMEM (1, 1, 1, N2) block (i1, 0, 0, 0):
                                per-strip sums of the z tile regions
+                               (of the COMPRESSED array for "zx2" —
+                               callers weight by 4 instead of 2)
     scratch  xdma, [bdma]      (2, T0, W1, N2) double-buffered blocks
-             [zdma]            (2, T0//2, W1, N2)
+             [zdma]            (2, T0//2, W1, N2) for "zf";
+                               (2, T0//2, W1z//2, N2) for "zx2", where
+                               W1z >= W1 + (s1 - s1z) is the 16-aligned
+                               fine-column cover of the x window
              xw2               (T0+2, W1, N2) x slab window
              axw, y0w, yw      (T0+2, W1, N2) stage slabs + 2-row carry
              xprev, [bprev]    (T0, W1, N2) previous block (x z-added)
              prow              (4, W1, N2) strip prologue rows
+             [zex]             (W1z, N2) sublane-expansion staging
+                               ("zx2" only): expanded planes are read
+                               back at the 8-aligned dynamic offset
+                               doff = s1 - s1z (Mosaic can't slice
+                               VALUES dynamically — ref round trip)
              sem               DMA semaphores (n_streams, 2)
 
     Stage row spans per produced tile j = i0 - 1 (strip-local columns,
     global rows): xw2 jT0+1..jT0+T0+2, axw/y0w jT0..jT0+T0+1,
     yw jT0-1..jT0+T0 — exactly the 1D staged kernel's layout (see
     _kernel_chain) over a W1-wide column window."""
+    with_zx2 = with_z and z_layout == "zx2"
     x_hbm = refs[0]
     k = 1
     b_hbm = refs[k] if with_b else None
@@ -1544,13 +1566,17 @@ def _kernel_chain_2d_staged(
     bprev = refs[k] if with_b else None
     k += 1 if with_b else 0
     prow = refs[k]
-    sem = refs[k + 1]
+    k += 1
+    zex = refs[k] if with_zx2 else None
+    k += 1 if with_zx2 else 0
+    sem = refs[k]
 
     N0, N1, N2 = shape
     N0G = n0_global
     G0 = N0 // T0
     G1 = N1 // T1
     W1 = min(T1 + 2 * _JB2, N1)
+    W1z = min(W1 + 2 * _JB2, N1)  # 16-aligned z cover (T1 % 16 for zx2)
     i1 = pl.program_id(0)
     i0 = pl.program_id(1)  # innermost: strips walk down axis 0
     t = i1 * (G0 + 1) + i0
@@ -1559,6 +1585,10 @@ def _kernel_chain_2d_staged(
     jT = j * T0
     s1 = pl.multiple_of(jnp.clip(i1 * T1 - _JB2, 0, N1 - W1), _JB2)
     base1 = pl.multiple_of(i1 * T1 - s1, _JB2)
+    s1z = pl.multiple_of(
+        jnp.clip(i1 * T1 - 2 * _JB2, 0, N1 - W1z), 2 * _JB2
+    )
+    doff = pl.multiple_of(s1 - s1z, _JB2)  # 8-aligned (0..W1z-W1)
 
     def copies(i1t, i0t, sl):
         s1t = pl.multiple_of(jnp.clip(i1t * T1 - _JB2, 0, N1 - W1), _JB2)
@@ -1578,7 +1608,20 @@ def _kernel_chain_2d_staged(
                     sem.at[1, sl],
                 )
             )
-        if with_z:
+        if with_zx2:
+            s1zt2 = pl.multiple_of(
+                jnp.clip(i1t * T1 - 2 * _JB2, 0, N1 - W1z) // 2, _JB2
+            )
+            cps.append(
+                pltpu.make_async_copy(
+                    z_hbm.at[
+                        pl.ds(r0t // 2, T0 // 2), pl.ds(s1zt2, W1z // 2)
+                    ],
+                    zdma.at[sl],
+                    sem.at[2 if with_b else 1, sl],
+                )
+            )
+        elif with_z:
             cps.append(
                 pltpu.make_async_copy(
                     z_hbm.at[pl.ds(r0t // 2, T0 // 2), pl.ds(s1t, W1)],
@@ -1587,6 +1630,18 @@ def _kernel_chain_2d_staged(
                 )
             )
         return cps
+
+    def zrow_fine(sl, m):
+        """The (W1, N2) fine-column z plane for row-pair m of the
+        current block: "zf" reads it directly; "zx2" sublane-expands
+        the compressed plane through zex and re-slices at doff."""
+        if not with_zx2:
+            return zdma[sl, m]
+        zc = zdma[sl, m]  # (W1z//2, N2)
+        zex[:] = jnp.broadcast_to(
+            zc[:, None], (W1z // 2, 2, N2)
+        ).reshape(W1z, N2)
+        return zex[pl.ds(doff, W1)]
 
     @pl.when(t == 0)
     def _first():
@@ -1747,10 +1802,11 @@ def _kernel_chain_2d_staged(
         # ---- fresh x slab window: rows jT+1 .. jT+T0+2 ------------------
         xw2[pl.ds(0, T0 - 1)] = xprev[pl.ds(1, T0 - 1)]
         if with_z:
-            zl = zdma[slot, pl.ds(0, 2)]  # z rows for fine rows 0..3
-            xw2[T0 - 1] = xdma[slot, 0] + zl[0]
-            xw2[T0] = xdma[slot, 1] + zl[0]
-            xw2[T0 + 1] = xdma[slot, 2] + zl[1]
+            zl0 = zrow_fine(slot, 0)  # z row for fine rows 0..1
+            xw2[T0 - 1] = xdma[slot, 0] + zl0
+            xw2[T0] = xdma[slot, 1] + zl0
+            zl1 = zrow_fine(slot, 1)  # z row for fine rows 2..3
+            xw2[T0 + 1] = xdma[slot, 2] + zl1
         else:
             xw2[T0 - 1] = xdma[slot, 0]
             xw2[T0] = xdma[slot, 1]
@@ -1833,7 +1889,7 @@ def _kernel_chain_2d_staged(
         # broadcast temporaries, see v3)
         if with_z:
             for m in range(T0 // 2):
-                zrow = zdma[slot, m]
+                zrow = zrow_fine(slot, m)
                 xprev[pl.ds(2 * m, 2)] = xdma[
                     slot, pl.ds(2 * m, 2)
                 ] + jnp.broadcast_to(zrow[None], (2, W1, N2))
@@ -1845,17 +1901,25 @@ def _kernel_chain_2d_staged(
     if with_zsum:
         # accumulate at slide steps: z blocks 0..G0-1 each fetched
         # exactly once per strip there; the tile column region [base1,
-        # base1+T1) partitions z columns across strips
+        # base1+T1) partitions z columns across strips.  For "zx2" the
+        # sum runs over the COMPRESSED sublane region (start
+        # (i1*T1 - s1z)//2, a multiple of 8) — callers weight by 4.
+        if with_zx2:
+            zb = pl.multiple_of((base1 + doff) // 2, _JB2)
+            zT = T1 // 2
+        else:
+            zb, zT = base1, T1
+
         @pl.when(i0 == 0)
         def _zsum_init():
-            zsum_ref[:] = zdma[slot, :, pl.ds(base1, T1)].sum(
+            zsum_ref[:] = zdma[slot, :, pl.ds(zb, zT)].sum(
                 axis=(0, 1), keepdims=True
             )[None]
 
         @pl.when(jnp.logical_and(i0 > 0, i0 < G0))
         def _zsum_acc():
             zsum_ref[:] = zsum_ref[:] + zdma[
-                slot, :, pl.ds(base1, T1)
+                slot, :, pl.ds(zb, zT)
             ].sum(axis=(0, 1), keepdims=True)[None]
 
 
@@ -1885,6 +1949,7 @@ def fused_chain_down_2d_staged(
     zf=None,  # (N0//2, N1, N2) leading-compressed coarse correction
     with_xsum: bool = False,
     with_zsum: bool = False,
+    zx2=None,  # (N0//2, N1//2, N2) lane-duplicated coarse correction
 ):
     """(xpy, rq[, xsum][, zsum]): STAGED-SLAB 2D chain down-phase.
 
@@ -1895,26 +1960,49 @@ def fused_chain_down_2d_staged(
     windowed kernel's axis-0 halo re-fetch and recompute (the 1D
     staged-slab dataflow of :func:`fused_chain_down_fd` over a W1-wide
     column window).  ``xsum``/``zsum`` are emitted per strip and summed
-    here (one tiny XLA reduction)."""
+    here (one tiny XLA reduction).
+
+    The deferred carry comes in ONE of two layouts: ``zf`` as in the
+    windowed kernel, or ``zx2`` — the 1D kernel's layout (lanes
+    pre-duplicated, sublanes compressed), halving the z stream's HBM
+    bytes AND its production broadcast; sublanes expand in-kernel.
+    ``zx2`` needs T1 and N1 multiples of 16 (compressed-sublane DMA
+    alignment) and makes ``zsum`` a sum over the COMPRESSED array —
+    weight by 4 instead of 2 (``sum(P0 z) = 4 sum(zsum)``)."""
     with_b = b is not None
     N0, N1, N2 = x.shape
     if n0_global is None:
         n0_global = N0
     if N0 % 2 or N1 % 2 or N2 % 2:
         raise ValueError("restriction needs even dims")
-    with_z = zf is not None
+    if zf is not None and zx2 is not None:
+        raise ValueError("pass at most one of zf / zx2")
+    with_zx2 = zx2 is not None
+    with_z = zf is not None or with_zx2
+    z_layout = "zx2" if with_zx2 else "zf"
+    z_in = zx2 if with_zx2 else zf
     if with_zsum and not with_z:
-        raise ValueError("with_zsum requires zf")
-    if with_z and zf.shape != (N0 // 2, N1, N2):
+        raise ValueError("with_zsum requires zf or zx2")
+    if zf is not None and zf.shape != (N0 // 2, N1, N2):
         raise ValueError(f"zf must be {(N0 // 2, N1, N2)}, got {zf.shape}")
+    if with_zx2 and zx2.shape != (N0 // 2, N1 // 2, N2):
+        raise ValueError(
+            f"zx2 must be {(N0 // 2, N1 // 2, N2)}, got {zx2.shape}"
+        )
     T0, T1 = _tile2d_staged(
-        N0, N1, N2, with_b=with_b, with_z=with_z, requested=tile2d
+        N0, N1, N2, with_b=with_b, with_z=with_z, requested=tile2d,
+        t1_mult=2 * _JB2 if with_zx2 else _JB2,
     )
     W1 = min(T1 + 2 * _JB2, N1)
+    W1z = min(W1 + 2 * _JB2, N1)
     if N0 % T0 or T0 % 2 or T0 < 4 or N0 < 2 * T0:
         raise ValueError(f"bad axis-0 tile {T0} for {N0}")
     if N1 % T1 or T1 % _JB2 or W1 % _JB2:
         raise ValueError(f"bad axis-1 tile {T1} for {N1}")
+    if with_zx2 and (T1 % (2 * _JB2) or N1 % (2 * _JB2)):
+        raise ValueError(
+            f"zx2 needs T1 and N1 multiples of 16, got T1={T1}, N1={N1}"
+        )
     G0, G1 = N0 // T0, N1 // T1
     color0 = 0 if sweep == "forward" else 1
 
@@ -1945,6 +2033,7 @@ def fused_chain_down_2d_staged(
         with_xsum=with_xsum,
         with_zsum=with_zsum,
         with_b=with_b,
+        z_layout=z_layout,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -1955,7 +2044,7 @@ def fused_chain_down_2d_staged(
         args.append(b)
     if with_z:
         in_specs.append(any_spec)
-        args.append(zf)
+        args.append(z_in)
     produced = lambda i1, i0: (jnp.maximum(i0 - 1, 0), i1, 0)
     out_specs = [
         pl.BlockSpec((T0, T1, N2), produced, memory_space=pltpu.VMEM),
@@ -1987,7 +2076,11 @@ def fused_chain_down_2d_staged(
     scratch = [pltpu.VMEM((2, T0, W1, N2), jnp.float32)]  # xdma
     if with_b:
         scratch.append(pltpu.VMEM((2, T0, W1, N2), jnp.float32))  # bdma
-    if with_z:
+    if with_zx2:
+        scratch.append(
+            pltpu.VMEM((2, T0 // 2, W1z // 2, N2), jnp.float32)  # zdma
+        )
+    elif with_z:
         scratch.append(pltpu.VMEM((2, T0 // 2, W1, N2), jnp.float32))  # zdma
     scratch += [
         pltpu.VMEM((T0 + 2, W1, N2), jnp.float32),  # xw2
@@ -1999,6 +2092,8 @@ def fused_chain_down_2d_staged(
     if with_b:
         scratch.append(pltpu.VMEM((T0, W1, N2), jnp.float32))  # bprev
     scratch.append(pltpu.VMEM((4, W1, N2), jnp.float32))  # prow
+    if with_zx2:
+        scratch.append(pltpu.VMEM((W1z, N2), jnp.float32))  # zex
     n_sem = 1 + (1 if with_b else 0) + (1 if with_z else 0)
     scratch.append(pltpu.SemaphoreType.DMA((n_sem, 2)))
     out = pl.pallas_call(
@@ -2019,6 +2114,20 @@ def fused_chain_down_2d_staged(
     if with_zsum:
         out[k] = out[k].sum(axis=0)  # (1, 1, N2)
     return tuple(out)
+
+
+def chain_down_2d_zx2_supported(shape) -> bool:
+    """Can :func:`fused_chain_down_2d_staged` consume a ``zx2`` carry on
+    this grid?  (Staged tile with T1 % 16 feasible — the
+    compressed-sublane z DMA alignment.)"""
+    try:
+        _tile2d_staged(
+            shape[0], shape[1], shape[2],
+            with_b=True, with_z=True, t1_mult=2 * _JB2,
+        )
+        return True
+    except ValueError:
+        return False
 
 
 def chain_down_2d_supported(shape) -> bool:

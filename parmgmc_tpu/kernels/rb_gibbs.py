@@ -39,6 +39,7 @@ __all__ = [
     "fused_rb_gibbs_sweep",
     "fused_rb_gibbs_sweep_fd",
     "fused_rb_gibbs_sweep_2d",
+    "fused_rb_gibbs_sweep_2d_staged",
     "fused_sweep_supported",
 ]
 
@@ -955,11 +956,37 @@ def fused_rb_gibbs_sweep_2d(
     Semantics match :func:`fused_rb_gibbs_sweep` /
     :func:`fused_rb_gibbs_sweep_fd`; only the noise keying differs (the
     stream is additionally keyed by the axis-1 _JB-block so tiles can
-    regenerate it locally)."""
+    regenerate it locally).  FD-form calls with no explicit tile
+    auto-route to :func:`fused_rb_gibbs_sweep_2d_staged` (bit-identical,
+    no axis-0 halo recompute) whenever a staged tile is feasible."""
     N0, N1, N2 = x.shape
     if n0_global is None:
         n0_global = N0
     fd = fd_params is not None
+    if fd and tile2d is None:
+        from parmgmc_tpu.kernels.mg_sweep import _tile2d_staged
+
+        try:
+            _tile2d_staged(N0, N1, N2, with_b=True, with_z=False)
+            ok = True
+        except ValueError:
+            ok = False
+        if ok:
+            return fused_rb_gibbs_sweep_2d_staged(
+                x,
+                b,
+                coeffs,
+                omega,
+                seed,
+                step,
+                noise_mult=noise_mult,
+                sweep=sweep,
+                interpret=interpret,
+                with_noise=with_noise,
+                fd_params=fd_params,
+                row_offset=row_offset,
+                n0_global=n0_global,
+            )
     streams = 2 if fd else 3
     # double-buffered windows: each stream holds 2 slots
     T0, T1 = _tile2d_auto(N0, N1, N2, 2 * streams, tile2d)
@@ -1023,6 +1050,355 @@ def fused_rb_gibbs_sweep_2d(
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(*operands)
+
+
+# ---------------------------------------------------------------------------
+# v4: STAGED-SLAB 2D sweep (FD form only).
+#
+# The windowed v3 kernel above recomputes both colour phases over a
+# halo-extended (T0+4, T1+16) window per tile.  This variant applies
+# the staged-slab dataflow (kernels.mg_sweep._kernel_chain_2d_staged)
+# to the plain sweep: grid (N1//T1, N0//T0 + 1) with axis 0 INNERMOST;
+# each column strip walks down the grid carrying 2 rows per stage
+# (x window, b~, phase-0 result), so every phase row is computed
+# exactly once and each x/b byte is fetched once along axis 0 — only
+# the in-plane halo (W1/T1) remains.  Same (row-pair, j-block)-keyed
+# noise as v3: results are bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_2d_staged(
+    fscal_ref,  # SMEM (10,) f32: omega, c0lo..c2hi, noise_mult, kappa2, hinv2
+    iscal_ref,  # SMEM (4,) i32: seed, color0, step, row_off
+    x_hbm,  # ANY (N0, N1, N2)
+    b_hbm,  # ANY
+    o_ref,  # VMEM (T0, T1, N2) block (max(i0-1,0), i1)
+    xdma,  # scratch (2, T0, W1, N2) double-buffered blocks
+    bdma,  # scratch (2, T0, W1, N2)
+    xw,  # scratch (T0+2, W1, N2): x rows jT..jT+T0+1 (2-row carry)
+    bt,  # scratch (T0+2, W1, N2): b~ rows jT..jT+T0+1; re-staged
+    #     with the phase-1 output after its values die (column slices
+    #     must be ref reads)
+    p0,  # scratch (T0+2, W1, N2): phase-0 rows jT-1..jT+T0
+    xprev,  # scratch (T0, W1, N2): block j
+    bprev,  # scratch (T0, W1, N2)
+    prow,  # scratch (3, W1, N2): strip prologue rows
+    sem,  # DMA semaphores (2, 2)
+    *,
+    T0: int,
+    T1: int,
+    shape: tuple,
+    with_noise: bool,
+    n0_global: int,
+):
+    N0, N1, N2 = shape
+    N0G = n0_global
+    G0 = N0 // T0
+    G1 = N1 // T1
+    W1 = min(T1 + 2 * _JB, N1)
+    i1 = pl.program_id(0)
+    i0 = pl.program_id(1)  # innermost: strips walk down axis 0
+    t = i1 * (G0 + 1) + i0
+    slot = t % 2
+    j = i0 - 1  # tile being produced
+    jT = j * T0
+    s1 = pl.multiple_of(jnp.clip(i1 * T1 - _JB, 0, N1 - W1), _JB)
+    base1 = pl.multiple_of(i1 * T1 - s1, _JB)
+
+    def copies(i1t, i0t, sl):
+        s1t = pl.multiple_of(jnp.clip(i1t * T1 - _JB, 0, N1 - W1), _JB)
+        r0t = pl.multiple_of(jnp.minimum(i0t, G0 - 1) * T0, 2)
+        return [
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(r0t, T0), pl.ds(s1t, W1)],
+                xdma.at[sl],
+                sem.at[0, sl],
+            ),
+            pltpu.make_async_copy(
+                b_hbm.at[pl.ds(r0t, T0), pl.ds(s1t, W1)],
+                bdma.at[sl],
+                sem.at[1, sl],
+            ),
+        ]
+
+    @pl.when(t == 0)
+    def _first():
+        for c in copies(0, 0, 0):
+            c.start()
+
+    @pl.when(t + 1 < G1 * (G0 + 1))
+    def _prefetch():
+        i0n = i0 + 1
+        wrap = i0n > G0
+        i1n = jnp.where(wrap, i1 + 1, i1)
+        i0n = jnp.where(wrap, 0, i0n)
+        for c in copies(i1n, i0n, 1 - slot):
+            c.start()
+
+    for c in copies(i1, i0, slot):
+        c.wait()
+
+    omega = fscal_ref[0]
+    noise_mult = fscal_ref[7]
+    kappa2 = fscal_ref[8]
+    hinv2 = fscal_ref[9]
+    seed = iscal_ref[0]
+    color0 = iscal_ref[1]
+    step = iscal_ref[2]
+    row_off = iscal_ref[3]
+    su = seed.astype(jnp.uint32)
+    stepu = step.astype(jnp.uint32)
+    nscale = jnp.sqrt((2.0 - omega) / omega) * noise_mult
+
+    c0lo, c0hi = fscal_ref[1], fscal_ref[2]
+    c1lo, c1hi = fscal_ref[3], fscal_ref[4]
+    c2lo, c2hi = fscal_ref[5], fscal_ref[6]
+
+    jj = jax.lax.broadcasted_iota(jnp.int32, (W1, N2), 0)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (W1, N2), 1)
+    jg = s1 + jj
+    plane_par = (jg + kk) % 2
+    links_inplane = (
+        (jg >= 1).astype(jnp.float32)
+        + (jg <= N1 - 2).astype(jnp.float32)
+        + (kk >= 1).astype(jnp.float32)
+        + (kk <= N2 - 2).astype(jnp.float32)
+    )
+
+    def geom(w, off):
+        ll3 = jax.lax.broadcasted_iota(jnp.int32, (w, W1, N2), 0)
+        g3 = (jT + off + row_off) + ll3
+        par3 = (ll3 + (off % 2) + plane_par[None]) % 2
+        up_ok3 = (g3 >= 1).astype(jnp.float32)
+        dn_ok3 = (g3 <= N0G - 2).astype(jnp.float32)
+        diag3 = kappa2 + hinv2 * (links_inplane[None] + up_ok3 + dn_ok3)
+        return par3, diag3, up_ok3, dn_ok3
+
+    def neigh_sum(v3, w, up_ok3, dn_ok3):
+        return (
+            c0lo * up_ok3 * _shift_plane(v3, 0, -1, w)
+            + c0hi * dn_ok3 * _shift_plane(v3, 0, 1, w)
+            + c1lo * _shift_plane(v3, 1, -1, W1)
+            + c1hi * _shift_plane(v3, 1, 1, W1)
+            + c2lo * _shift_plane(v3, 2, -1, N2)
+            + c2hi * _shift_plane(v3, 2, 1, N2)
+        )
+
+    nq = W1 // _JB
+    kkb = jax.lax.broadcasted_iota(jnp.int32, (_JB, N2), 1)
+    lanes_ip = (kkb >= 1).astype(jnp.float32) + (kkb <= N2 - 2).astype(
+        jnp.float32
+    )
+    jlb = jax.lax.broadcasted_iota(jnp.int32, (_JB, N2), 0)
+
+    def add_noise(row_lo, g_lo, n_pairs):
+        """Add (row-pair, j-block)-keyed noise to bt rows
+        [row_lo, row_lo + 2*n_pairs) = global rows [g_lo, ...) —
+        identical keying to the windowed v3 kernel."""
+
+        def blk(tq, _):
+            c = tq // nq
+            q = tq - c * nq
+            l = row_lo + 2 * c
+            off = q * _JB
+            g = g_lo + row_off + 2 * c
+            jb = s1 // _JB + q
+            ee, eo = _eta_pair_blk(su, stepu, g, jb, N2)
+            jgb = jlb + (s1 + off)
+            links_ip = (
+                lanes_ip
+                + (jgb >= 1).astype(jnp.float32)
+                + (jgb <= N1 - 2).astype(jnp.float32)
+            )
+
+            def dslab(gr):
+                ok = (gr >= 1).astype(jnp.float32) + (
+                    gr <= N0G - 2
+                ).astype(jnp.float32)
+                return kappa2 + hinv2 * (links_ip + ok)
+
+            bt[l, pl.ds(off, _JB)] = bt[l, pl.ds(off, _JB)] + (
+                nscale * jnp.sqrt(dslab(g)) * ee
+            )
+            bt[l + 1, pl.ds(off, _JB)] = bt[l + 1, pl.ds(off, _JB)] + (
+                nscale * jnp.sqrt(dslab(g + 1)) * eo
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_pairs * nq, blk, 0, unroll=False)
+
+    @pl.when(i0 == 1)
+    def _prologue():
+        # Prime the strip carries: x rows 0..1, b~ rows 0..1, phase-0
+        # rows -1..0 (row -1 zero; its contributions are masked by
+        # up_ok at the true boundary and land in the discarded halo for
+        # sharded callers — the chain-kernel contract).
+        xw[0] = xprev[0]
+        xw[1] = xprev[1]
+        bt[0] = bprev[0]
+        bt[1] = bprev[1]
+        if with_noise:
+            add_noise(0, 0, 1)
+        prow[0] = jnp.zeros((W1, N2), jnp.float32)
+        prow[1] = xprev[0]
+        prow[2] = xprev[1]
+        _, diag3, up3, dn3 = geom(3, -1)  # rows -1..1 (jT = 0 here)
+        pv3 = prow[:]
+        nsum = neigh_sum(pv3, 3, up3, dn3)
+        upd0 = (1.0 - omega) * pv3[1] + (omega / diag3[1]) * (
+            bt[0] - nsum[1]
+        )
+        p0[0] = jnp.zeros((W1, N2), jnp.float32)
+        p0[1] = jnp.where(plane_par == color0, upd0, pv3[1])
+
+    @pl.when(i0 > 0)
+    def _compute():
+        # ---- fresh x rows jT+2 .. jT+T0+1 --------------------------------
+        xw[pl.ds(2, T0 - 2)] = xprev[pl.ds(2, T0 - 2)]
+        xw[pl.ds(T0, 2)] = xdma[slot, pl.ds(0, 2)]
+
+        # ---- fresh b~ rows jT+2 .. jT+T0+1 -------------------------------
+        bt[pl.ds(2, T0 - 2)] = bprev[pl.ds(2, T0 - 2)]
+        bt[pl.ds(T0, 2)] = bdma[slot, pl.ds(0, 2)]
+        if with_noise:
+            add_noise(2, jT + 2, T0 // 2)
+
+        # ---- phase 0: fresh rows jT+1 .. jT+T0 from the x window --------
+        par, diag, up, dn = geom(T0 + 2, 0)  # xw rows jT..jT+T0+1
+        xv = xw[:]
+        btv = bt[:]
+        upd = (1.0 - omega) * xv + (omega / diag) * (
+            btv - neigh_sum(xv, T0 + 2, up, dn)
+        )
+        sel = jnp.where(par == color0, upd, xv)
+        p0[pl.ds(2, T0)] = sel[1 : T0 + 1]
+
+        # ---- phase 1 on the p0 window rows jT-1 .. jT+T0 ------------------
+        par1, diag1, up1, dn1 = geom(T0 + 2, -1)
+        pv = p0[:]
+        # b~ aligned to the p0 window: index i holds row jT-1+i (row 0
+        # garbage, discarded — outputs span window rows 1..T0)
+        btw = _shift_plane(btv, 0, -1, T0 + 2)
+        upd1 = (1.0 - omega) * pv + (omega / diag1) * (
+            btw - neigh_sum(pv, T0 + 2, up1, dn1)
+        )
+        out_full = jnp.where(par1 == (1 - color0), upd1, pv)
+
+        # ---- carries for the next stage (values above already read) ------
+        xw[pl.ds(0, 2)] = xw[pl.ds(T0, 2)]
+        p0[pl.ds(0, 2)] = p0[pl.ds(T0, 2)]
+        bt[pl.ds(0, 2)] = bt[pl.ds(T0, 2)]
+
+        # ---- output staged through bt rows 2..T0+1 (dead) -----------------
+        bt[pl.ds(2, T0)] = out_full[1 : T0 + 1]
+        o_ref[:] = bt[pl.ds(2, T0), pl.ds(base1, T1)]
+
+    @pl.when(i0 == 0)
+    def _init():
+        o_ref[:] = xdma[slot, :, pl.ds(base1, T1)]  # overwritten at i0=1
+
+    @pl.when(i0 < G0)
+    def _slide():
+        xprev[:] = xdma[slot]
+        bprev[:] = bdma[slot]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sweep", "tile2d", "interpret", "with_noise", "n0_global"),
+)
+def fused_rb_gibbs_sweep_2d_staged(
+    x,
+    b,
+    coeffs,  # (6,) f32
+    omega,
+    seed,
+    step,
+    noise_mult=1.0,
+    sweep: str = "forward",
+    tile2d: "tuple | None" = None,
+    interpret: bool = False,
+    with_noise: bool = True,
+    fd_params=None,  # (2,) f32 (kappa2, hinv2) — REQUIRED (FD form only)
+    row_offset=0,
+    n0_global: "int | None" = None,
+):
+    """One fused stochastic red/black SOR sweep, STAGED-SLAB 2D tiling.
+
+    Bit-identical results to :func:`fused_rb_gibbs_sweep_2d` (same
+    formulas and noise keying) without its axis-0 halo re-fetch and
+    phase recompute; FD-form operators only (the diag-streamed mode
+    stays on the windowed kernel)."""
+    if fd_params is None:
+        raise ValueError("staged 2D sweep is FD-form only")
+    N0, N1, N2 = x.shape
+    if n0_global is None:
+        n0_global = N0
+    from parmgmc_tpu.kernels.mg_sweep import _tile2d_staged
+
+    T0, T1 = _tile2d_staged(
+        N0, N1, N2, with_b=True, with_z=False, requested=tile2d
+    )
+    W1 = min(T1 + 2 * _JB, N1)
+    if N0 % T0 or T0 % 2 or T0 < 4 or N0 < 2 * T0:
+        raise ValueError(f"bad axis-0 tile {T0} for {N0}")
+    if N1 % T1 or T1 % _JB or W1 % _JB:
+        raise ValueError(f"bad axis-1 tile {T1} for {N1}")
+    G0, G1 = N0 // T0, N1 // T1
+    color0 = 0 if sweep == "forward" else 1
+
+    fscal = jnp.concatenate(
+        [
+            jnp.asarray([omega], jnp.float32),
+            jnp.asarray(coeffs, jnp.float32).reshape(6),
+            jnp.asarray([noise_mult], jnp.float32),
+            jnp.asarray(fd_params, jnp.float32).reshape(2),
+        ]
+    )
+    iscal = jnp.stack(
+        [
+            jnp.asarray(seed, jnp.int32),
+            jnp.asarray(color0, jnp.int32),
+            jnp.asarray(step, jnp.int32),
+            jnp.asarray(row_offset, jnp.int32),
+        ]
+    )
+
+    kern = functools.partial(
+        _kernel_2d_staged,
+        T0=T0,
+        T1=T1,
+        shape=(N0, N1, N2),
+        with_noise=with_noise,
+        n0_global=n0_global,
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    scratch = [
+        pltpu.VMEM((2, T0, W1, N2), jnp.float32),  # xdma
+        pltpu.VMEM((2, T0, W1, N2), jnp.float32),  # bdma
+        pltpu.VMEM((T0 + 2, W1, N2), jnp.float32),  # xw
+        pltpu.VMEM((T0 + 2, W1, N2), jnp.float32),  # bt
+        pltpu.VMEM((T0 + 2, W1, N2), jnp.float32),  # p0
+        pltpu.VMEM((T0, W1, N2), jnp.float32),  # xprev
+        pltpu.VMEM((T0, W1, N2), jnp.float32),  # bprev
+        pltpu.VMEM((3, W1, N2), jnp.float32),  # prow
+        pltpu.SemaphoreType.DMA((2, 2)),
+    ]
+    return pl.pallas_call(
+        kern,
+        grid=(G1, G0 + 1),
+        in_specs=[smem, smem, any_spec, any_spec],
+        out_specs=pl.BlockSpec(
+            (T0, T1, N2),
+            lambda i1, i0: (jnp.maximum(i0 - 1, 0), i1, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(fscal, iscal, x, b)
 
 
 def fused_sweep_supported(shape) -> bool:

@@ -338,6 +338,7 @@ class MGMCSampler:
         """
         from parmgmc_tpu.kernels.mg_sweep import (
             fused_chain_down_2d,
+            fused_chain_down_2d_staged,
             fused_chain_down_fd,
         )
 
@@ -347,18 +348,34 @@ class MGMCSampler:
         step = jax.random.randint(k2, (), 0, 2**31 - 1, dtype=jnp.int32)
         common = dict(sweep=s.sweep, with_xsum=with_xsum, with_zsum=with_zsum)
         if self._chain_level0_2d():
-            out = fused_chain_down_2d(
-                x,
-                b,
-                s._coeff6(),
-                s.fd_params[0],
-                s.fd_params[1],
-                s.omega.astype(jnp.float32),
-                seed,
-                step,
-                zf=z,
-                **common,
-            )
+            if z is not None and self.deferred_layout() == "zx2":
+                # staged kernel, zx2 carry (half the z HBM bytes; the
+                # deferred_layout probe guarantees tile feasibility)
+                out = fused_chain_down_2d_staged(
+                    x,
+                    b,
+                    s._coeff6(),
+                    s.fd_params[0],
+                    s.fd_params[1],
+                    s.omega.astype(jnp.float32),
+                    seed,
+                    step,
+                    zx2=z,
+                    **common,
+                )
+            else:
+                out = fused_chain_down_2d(
+                    x,
+                    b,
+                    s._coeff6(),
+                    s.fd_params[0],
+                    s.fd_params[1],
+                    s.omega.astype(jnp.float32),
+                    seed,
+                    step,
+                    zf=z,
+                    **common,
+                )
         else:
             out = fused_chain_down_fd(
                 x,
@@ -524,11 +541,19 @@ class MGMCSampler:
 
     def deferred_layout(self) -> str:
         """Layout of the lazy coarse-correction carry: ``"zx2"`` (lanes
-        pre-duplicated, consumed by the whole-plane kernel) or ``"zf"``
-        (sublanes AND lanes at fine resolution, leading axis compressed —
-        the only layout the 2D-tiled kernel can window, see
+        pre-duplicated, sublanes compressed — the whole-plane kernel's
+        layout, ALSO consumed by the staged 2D kernel when its
+        16-aligned z tiling is feasible: half the carry's HBM bytes) or
+        ``"zf"`` (sublanes AND lanes at fine resolution, leading axis
+        compressed — the windowed 2D kernel's fallback, see
         ``fused_chain_down_2d``)."""
-        return "zf" if self._chain_level0_2d() else "zx2"
+        if not self._chain_level0_2d():
+            return "zx2"
+        from parmgmc_tpu.kernels.mg_sweep import chain_down_2d_zx2_supported
+
+        return (
+            "zx2" if chain_down_2d_zx2_supported(self.grid_shape) else "zf"
+        )
 
     def step_deferred(self, key, xpy, zx2, b):
         """(key, xpy', z', sum_xpy', zprev_sum): lazy chain step.

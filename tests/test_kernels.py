@@ -214,6 +214,49 @@ def test_fused_chain_down_2d_matches_lax(sweep, tile2d):
 
 
 @pytest.mark.parametrize("sweep", ["forward", "backward"])
+def test_fused_sweep_2d_staged_matches_windowed(sweep):
+    """kernels.rb_gibbs._kernel_2d_staged: the staged-slab 2D sweep must
+    reproduce the windowed v3 sweep exactly (deterministic path), incl.
+    under the sharded halo-offset contract."""
+    from parmgmc_tpu.kernels.rb_gibbs import (
+        fused_rb_gibbs_sweep_2d,
+        fused_rb_gibbs_sweep_2d_staged,
+    )
+
+    shape = (16, 32, 128)
+    op = shifted_laplace_fd(shape, 1.7, dtype=jnp.float32)
+    key = jax.random.PRNGKey(41)
+    x = jax.random.normal(key, shape, jnp.float32)
+    b = jax.random.normal(jax.random.fold_in(key, 1), shape, jnp.float32)
+    coeffs = jnp.asarray([float(c) for c in op.coeffs], jnp.float32)
+    hinv2 = -float(op.coeffs[0])
+    fd = jnp.asarray([1.7**2, hinv2], jnp.float32)
+    kw = dict(
+        noise_mult=0.0, sweep=sweep, interpret=True,
+        with_noise=False, fd_params=fd,
+    )
+    ref = fused_rb_gibbs_sweep_2d(
+        x, b, None, coeffs, 1.2, 0, 0, tile2d=(4, 8), **kw
+    )
+    for t_st in ((4, 8), (8, 16)):
+        got = fused_rb_gibbs_sweep_2d_staged(
+            x, b, coeffs, 1.2, 0, 0, tile2d=t_st, **kw
+        )
+        rel = float(jnp.abs(ref - got).max()) / (
+            float(jnp.abs(ref).max()) + 1e-30
+        )
+        assert rel < 1e-5, (t_st, rel)
+    # sharded contract: 4-row-halo local block reproduces the interior
+    xl, bl = x[4:16], b[4:16]
+    loc = fused_rb_gibbs_sweep_2d_staged(
+        xl, bl, coeffs, 1.2, 0, 0, tile2d=(4, 8),
+        row_offset=4, n0_global=16, **kw,
+    )
+    err = float(jnp.abs(ref[8:16] - loc[4:]).max())
+    assert err < 1e-5, err
+
+
+@pytest.mark.parametrize("sweep", ["forward", "backward"])
 def test_fused_chain_down_2d_staged_matches_windowed(sweep):
     """kernels.mg_sweep._kernel_chain_2d_staged: the staged-slab 2D
     chain kernel must reproduce the windowed v3 kernel exactly
@@ -265,6 +308,54 @@ def test_fused_chain_down_2d_staged_matches_windowed(sweep):
                 float(jnp.abs(u).max()) + 1e-30
             )
             assert rel < 1e-5, ("tile2", use_b, use_z, i, rel)
+
+
+@pytest.mark.parametrize("sweep", ["forward", "backward"])
+def test_fused_chain_down_2d_staged_zx2_matches_zf(sweep):
+    """The staged kernel's zx2 carry layout (lanes pre-duplicated,
+    sublanes compressed, in-kernel sublane expansion through the zex
+    scratch) must reproduce the zf layout exactly, with the documented
+    zsum reweighting 4*sum(zsum_zx2) == 2*sum(zsum_zf)."""
+    from parmgmc_tpu.kernels.mg_sweep import fused_chain_down_2d_staged
+
+    shape = (16, 32, 128)
+    N0, N1, N2 = shape
+    key = jax.random.PRNGKey(37)
+    x = jax.random.normal(key, shape, jnp.float32)
+    z = jax.random.normal(
+        jax.random.fold_in(key, 1),
+        (N0 // 2, N1 // 2, N2 // 2),
+        jnp.float32,
+    )
+    zf = jnp.broadcast_to(
+        z[:, :, None, :, None], (N0 // 2, N1 // 2, 2, N2 // 2, 2)
+    ).reshape(N0 // 2, N1, N2)
+    zx2 = jnp.broadcast_to(z[..., None], (*z.shape, 2)).reshape(
+        N0 // 2, N1 // 2, N2
+    )
+    hinv2 = float((N0 - 1) ** 2)
+    coeffs = jnp.full((6,), -hinv2, jnp.float32)
+    kw = dict(
+        sweep=sweep, interpret=True, with_noise=False,
+        with_xsum=True, with_zsum=True,
+    )
+    # b=None (the flagship prior-sampling path) and the doff={0,8}
+    # in-plane offsets both exercised: tile (4,16) makes the zx2 window
+    # wider than the x window on interior strips
+    a = fused_chain_down_2d_staged(
+        x, None, coeffs, 1.0, hinv2, 1.0, 3, 5, tile2d=(4, 8), zf=zf, **kw
+    )
+    c = fused_chain_down_2d_staged(
+        x, None, coeffs, 1.0, hinv2, 1.0, 3, 5, tile2d=(4, 16), zx2=zx2, **kw
+    )
+    for i in range(3):
+        rel = float(jnp.abs(a[i] - c[i]).max()) / (
+            float(jnp.abs(a[i]).max()) + 1e-30
+        )
+        assert rel < 1e-5, (i, rel)
+    assert abs(
+        2.0 * float(a[3].sum()) - 4.0 * float(c[3].sum())
+    ) < 1e-3 * max(1.0, abs(2.0 * float(a[3].sum())))
 
 
 def test_fused_chain_down_2d_staged_sharded_offsets():
@@ -537,8 +628,10 @@ def test_deferred_zf_layout_algebra():
     """The zf lazy-carry algebra (samplers.mgmc deferred_layout "zf"):
     the production broadcast + kernel leading-repeat must reconstruct
     the transfer's prolong exactly, and the layout sums must satisfy
-    sum(P0 z) = 2 sum(zf); plus the routing predicate: small grids stay
-    zx2/whole-plane, 512^2+ planes switch to zf/2D."""
+    sum(P0 z) = 2 sum(zf); plus the routing predicates: small grids
+    stay zx2/whole-plane, 512^2+ planes route to the 2D kernels — zx2
+    via the staged kernel when its 16-aligned tiling fits, zf on the
+    windowed fallback."""
     from parmgmc_tpu.operators.transfer import AggregateTransfer
     from parmgmc_tpu.samplers.mgmc import MGMCSampler
     from parmgmc_tpu.models.problems import gmrf_3d
@@ -566,6 +659,11 @@ def test_deferred_zf_layout_algebra():
     )
     assert smp.deferred_layout() == "zx2"
     assert not smp._chain_level0_2d()
+    # shape-only probes: 768^3 routes 2D and admits the zx2 staged tile
+    from parmgmc_tpu.kernels.mg_sweep import chain_down_2d_zx2_supported
+
+    assert chain_down_2d_zx2_supported((768, 768, 768))
+    assert not chain_down_2d_zx2_supported((768, 24, 768))  # N1 % 16
 
 
 def test_sample_chain_deferred_matches_standard():
