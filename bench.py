@@ -272,10 +272,75 @@ def selftest2d():
     print("selftest2d OK: 2D-tiled stochastic path matches lax chain")
 
 
+def selftest_staged():
+    """TPU-gated BITWISE regression of the staged-slab 2D kernels.
+
+    The staged kernels (chain down-phase and sweep) must match the
+    windowed v3 kernels EXACTLY on chip — same formulas, same
+    (row-pair, j-block)-keyed noise — in every carry layout, including
+    the b=None flagship path.  xsum/zsum may differ only by summation
+    order.  Run ``python bench.py --selftest-staged`` on a TPU."""
+    from parmgmc_tpu.kernels.mg_sweep import (
+        fused_chain_down_2d,
+        fused_chain_down_2d_staged,
+    )
+    from parmgmc_tpu.kernels.rb_gibbs import (
+        fused_rb_gibbs_sweep_2d,
+        fused_rb_gibbs_sweep_2d_staged,
+    )
+
+    N0, N1, N2 = 32, 768, 768
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (N0, N1, N2), jnp.float32)
+    b = jax.random.normal(jax.random.fold_in(key, 1), (N0, N1, N2), jnp.float32)
+    z = jax.random.normal(
+        jax.random.fold_in(key, 2), (N0 // 2, N1 // 2, N2 // 2), jnp.float32
+    )
+    zf = jnp.broadcast_to(
+        z[:, :, None, :, None], (N0 // 2, N1 // 2, 2, N2 // 2, 2)
+    ).reshape(N0 // 2, N1, N2)
+    zx2 = jnp.broadcast_to(z[..., None], (*z.shape, 2)).reshape(
+        N0 // 2, N1 // 2, N2
+    )
+    hinv2 = float((N0 - 1) ** 2)
+    coeffs = jnp.full((6,), -hinv2, jnp.float32)
+    fd = jnp.asarray([1.0, hinv2], jnp.float32)
+    kw = dict(sweep="forward", with_noise=True)
+
+    for bb, tag in ((b, "b"), (None, "b=None")):
+        ref = fused_chain_down_2d(
+            x, bb, coeffs, 1.0, hinv2, 1.0, 3, 5, zf=zf,
+            with_xsum=True, with_zsum=True, staged=False, **kw,
+        )
+        for zkw, ztag in ((dict(zf=zf), "zf"), (dict(zx2=zx2), "zx2")):
+            got = fused_chain_down_2d_staged(
+                x, bb, coeffs, 1.0, hinv2, 1.0, 3, 5,
+                with_xsum=True, with_zsum=True, **zkw, **kw,
+            )
+            for i, name in enumerate(("xpy", "rq")):
+                d = float(jnp.abs(ref[i] - got[i]).max())
+                assert d == 0.0, (tag, ztag, name, d)
+            dx = float(jnp.abs(ref[2] - got[2]).max())
+            assert dx < 1e-3, (tag, ztag, "xsum", dx)  # summation order
+            print(f"chain {tag}/{ztag}: xpy/rq bitwise OK, |dxsum| {dx:.2e}")
+    s_ref = fused_rb_gibbs_sweep_2d(
+        x, b, None, coeffs, 1.0, 3, 5, fd_params=fd, tile2d=(8, 96), **kw
+    )
+    s_got = fused_rb_gibbs_sweep_2d_staged(
+        x, b, coeffs, 1.0, 3, 5, fd_params=fd, **kw
+    )
+    d = float(jnp.abs(s_ref - s_got).max())
+    assert d == 0.0, ("sweep", d)
+    print("sweep: bitwise OK")
+    print("selftest-staged OK: staged kernels match windowed bitwise")
+
+
 if __name__ == "__main__":
     if "--selftest" in sys.argv:
         selftest()
     elif "--selftest2d" in sys.argv:
         selftest2d()
+    elif "--selftest-staged" in sys.argv:
+        selftest_staged()
     else:
         main()

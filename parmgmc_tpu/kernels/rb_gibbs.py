@@ -1412,7 +1412,10 @@ def fused_sweep_supported(shape) -> bool:
         return False
     try:
         # worst case: diag-streamed mode with double-buffered windows
-        # holds 2*3 stream slots (must match the wrappers' 2*streams)
+        # holds 2*3 stream slots (must match the wrappers' 2*streams).
+        # (The staged-slab sweep's envelope is essentially the same, so
+        # this one probe gates both variants; staged is FD-form only
+        # and auto-falls back to this windowed kernel anyway.)
         _tile2d_auto(N0, N1, N2, streams=6)
         return True
     except ValueError:
