@@ -96,3 +96,96 @@ def test_describe_summarises_composed_samplers():
     assert "2 colours" in txt
     assert "CholeskySampler: dense factor" in txt
     assert "AggregateTransfer" in txt
+
+
+# ---------------------------------------------------------------------------
+# Rank-normalized split-R-hat + bulk/tail ESS (Vehtari et al. 2021)
+# ---------------------------------------------------------------------------
+
+
+def _ar1_chains(rho, m, n, seed=0):
+    rng = np.random.default_rng(seed)
+    innov = np.sqrt(1 - rho**2) * rng.standard_normal((m, n))
+    x = np.empty((m, n))
+    x[:, 0] = rng.standard_normal(m)
+    for t in range(1, n):
+        x[:, t] = rho * x[:, t - 1] + innov[:, t]
+    return x
+
+
+def test_rank_normalize_shapes_and_scores():
+    from parmgmc_tpu.diagnostics.rhat import rank_normalize
+
+    x = np.random.default_rng(0).exponential(size=(4, 500))  # skewed input
+    z = np.asarray(rank_normalize(x))
+    assert z.shape == x.shape
+    # pooled normal scores: mean ~ 0, sd ~ 1, symmetric despite skew input
+    assert abs(z.mean()) < 1e-3
+    assert abs(z.std() - 1.0) < 0.05
+    # monotone: ranks preserve order of the pooled draws
+    flat_x, flat_z = x.ravel(), z.ravel()
+    i, j = np.argmin(flat_x), np.argmax(flat_x)
+    assert flat_z[i] == flat_z.min() and flat_z[j] == flat_z.max()
+
+
+def test_rhat_rank_converged_chains_near_one():
+    from parmgmc_tpu.diagnostics.rhat import rhat_rank, split_rhat
+
+    x = np.random.default_rng(1).standard_normal((4, 2000))
+    assert abs(split_rhat(x) - 1.0) < 0.01
+    assert rhat_rank(x) < 1.01
+
+
+def test_rhat_rank_flags_mean_and_scale_mismatch():
+    from parmgmc_tpu.diagnostics.rhat import rhat_rank
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((4, 2000))
+    shifted = x + np.array([0.0, 0.0, 0.0, 3.0])[:, None]
+    assert rhat_rank(shifted) > 1.2
+    # equal means, one chain 5x the spread: the FOLDED (tail) term
+    # catches what a moment R-hat on means alone would miss
+    scaled = x * np.array([1.0, 1.0, 1.0, 5.0])[:, None]
+    assert rhat_rank(scaled) > 1.1
+
+
+def test_rhat_rank_flags_within_chain_trend():
+    from parmgmc_tpu.diagnostics.rhat import rhat_rank
+
+    # chains agree pairwise but each drifts: split halves disagree
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((4, 2000)) + np.linspace(0, 4, 2000)
+    assert rhat_rank(x) > 1.2
+
+
+def test_ess_mean_iid_and_ar1():
+    from parmgmc_tpu.diagnostics.rhat import ess_mean
+
+    m, n = 4, 20_000
+    x = np.random.default_rng(4).standard_normal((m, n))
+    e = ess_mean(x)
+    assert abs(e - m * n) / (m * n) < 0.25, e
+    for rho, seed in [(0.5, 5), (0.8, 6)]:
+        y = _ar1_chains(rho, m, n, seed=seed)
+        tau = (1 + rho) / (1 - rho)
+        e = ess_mean(y)
+        assert abs(e - m * n / tau) / (m * n / tau) < 0.2, (rho, e)
+
+
+def test_ess_bulk_tail_iid():
+    from parmgmc_tpu.diagnostics.rhat import ess_bulk, ess_quantile, ess_tail
+
+    m, n = 4, 20_000
+    x = np.random.default_rng(7).standard_normal((m, n))
+    # rank normalization + split should not change iid ESS materially
+    assert abs(ess_bulk(x) - m * n) / (m * n) < 0.25
+    # indicator chains are iid too; quantile/tail ESS stays same order
+    assert ess_tail(x) > 0.5 * m * n
+    assert ess_quantile(x, 0.5) > 0.5 * m * n
+
+
+def test_ess_mean_degenerate_constant():
+    from parmgmc_tpu.diagnostics.rhat import ess_mean
+
+    x = np.ones((3, 100))
+    assert ess_mean(x) == 300.0
