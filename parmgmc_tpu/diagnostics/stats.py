@@ -71,6 +71,7 @@ def sample_until_converged(
     max_steps: int = 100_000,
     overdispersion: float = 1e3,
     seed: int = 0,
+    method: str = "classic",
 ):
     """Run overdispersed chains until Gelman-Rubin R-hat < tol (ex7 flow).
 
@@ -78,11 +79,21 @@ def sample_until_converged(
     vmapped on device; convergence is checked on host every
     ``check_every`` steps on the accumulated scalar QOI traces
     (examples/ex7.c:196-218 semantics with overdispersed inits,
-    ex7.c:170-177).
+    ex7.c:170-177).  ``method="classic"`` is ex7's moment R-hat;
+    ``method="rank"`` uses the rank-normalized split-R-hat with folding
+    (``diagnostics.rhat.rhat_rank``, Vehtari et al. 2021) — stricter on
+    trends and tail mismatches, recommended for production runs.
     """
     import numpy as np
 
     from parmgmc_tpu.chain import ChainState, sample_chain
+
+    if method == "rank":
+        from parmgmc_tpu.diagnostics.rhat import rhat_rank as _rhat
+    elif method == "classic":
+        _rhat = lambda v: float(gelman_rubin(v))  # noqa: E731
+    else:
+        raise ValueError(f"method must be 'classic' or 'rank', got {method!r}")
 
     keys = jax.random.split(jax.random.PRNGKey(seed), n_chains)
 
@@ -109,7 +120,7 @@ def sample_until_converged(
         traces.append(np.asarray(q))
         steps += check_every
         vals = jnp.asarray(np.concatenate(traces, axis=1))
-        rhat = float(gelman_rubin(vals))
+        rhat = _rhat(vals)
         if rhat < rhat_tol:
             break
     return np.concatenate(traces, axis=1), steps, rhat

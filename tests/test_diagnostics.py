@@ -189,3 +189,22 @@ def test_ess_mean_degenerate_constant():
 
     x = np.ones((3, 100))
     assert ess_mean(x) == 300.0
+
+
+def test_sample_until_converged_rank_method():
+    """ex7 loop driven by the rank-normalized split-R-hat."""
+    import jax.numpy as jnp
+
+    from parmgmc_tpu.diagnostics.stats import sample_until_converged
+    from parmgmc_tpu.operators.stencil import shifted_laplace_fd
+    from parmgmc_tpu.samplers.mgmc import MGMCSampler
+
+    op = shifted_laplace_fd((9, 9), 10.0, dtype=jnp.float64)
+    smp = MGMCSampler.create(op, n_levels=2)
+    b = jnp.ones(op.grid_shape, jnp.float64)
+    trace, steps, rhat = sample_until_converged(
+        smp, b, lambda x: jnp.mean(x), n_chains=8, check_every=50,
+        max_steps=5000, method="rank",
+    )
+    assert rhat < 1.05, rhat
+    assert trace.shape == (8, steps)
