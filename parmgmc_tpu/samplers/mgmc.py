@@ -585,20 +585,37 @@ class MGMCSampler:
         )
         n0, n1, n2 = self.grid_shape
         sub, sub2 = jax.random.split(sub)
-        z1 = self._cycle_keyed(1, rc, sub2)
-        if self.deferred_layout() == "zf":
-            # zf[m, j, k] = z1[m, j//2, k//2]: in-plane expansion happens
-            # here (one XLA broadcast) — the 2D kernel repeats rows only
-            zn = jnp.broadcast_to(
-                z1[:, :, None, :, None],
-                (n0 // 2, n1 // 2, 2, n2 // 2, 2),
-            ).reshape(n0 // 2, n1, n2)
-            zw = 2.0  # sum(P0 z) = 2 sum(zf)
-        else:
-            zn = jnp.broadcast_to(z1[..., None], (*z1.shape, 2)).reshape(
+        layout = self.deferred_layout()
+
+        def expand(a):
+            # duplicate the axes the carry layout leaves at fine pitch:
+            # lanes only (zx2) or both in-plane axes (zf)
+            if layout == "zf":
+                return jnp.broadcast_to(
+                    a[:, :, None, :, None],
+                    (n0 // 2, n1 // 2, 2, n2 // 2, 2),
+                ).reshape(n0 // 2, n1, n2)
+            return jnp.broadcast_to(a[..., None], (*a.shape, 2)).reshape(
                 n0 // 2, n1 // 2, n2
             )
-            zw = 4.0  # sum(P0 z) = 4 sum(zx2)
+
+        zw = 2.0 if layout == "zf" else 4.0
+        if not self._tail_fused_eligible(1) and self._down_fused_eligible(1):
+            # Split level 1 open so its up add and the carry-layout
+            # expansion fuse into ONE XLA pass: zn = dup(y1) + dup(P1 z2)
+            # adds the same operands per element as dup(y1 + P1 z2), so
+            # samples stay bit-identical (A/B at (16,16,512): state, QOI
+            # and final carry all exactly equal), but the level-1
+            # correction z1 never materialises.  Measured 768^3: ~0.3 ms
+            # /step (XLA already fused most of the up1 add into the
+            # broadcast); kept because it is strictly less HBM traffic.
+            # Key threading replicates _cycle_keyed(1, rc, sub2) exactly.
+            y1, r1, sub2 = self._fused_down(1, rc, sub2)
+            sub2, sub3 = jax.random.split(sub2)
+            z2 = self._cycle_keyed(2, r1, sub3)
+            zn = expand(y1) + expand(self.transfers[1].prolong(z2))
+        else:
+            zn = expand(self._cycle_keyed(1, rc, sub2))
         return key, xpy2, zn, jnp.sum(xsum), zw * jnp.sum(zsum)
 
     def deferred_init(self, dtype):
