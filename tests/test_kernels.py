@@ -666,6 +666,59 @@ def test_deferred_zf_layout_algebra():
     assert not chain_down_2d_zx2_supported((768, 24, 768))  # N1 % 16
 
 
+def test_deferred_split_level1_routing_and_algebra():
+    """step_deferred splits level 1 open when it is down-fused-eligible
+    but tail-ineligible (level-1 lanes %128 but not dividing 128 — the
+    768^3 family and 512-lane shapes), producing the carry as
+    dup(y1) + dup(P1 z2).  The algebra this relies on: expanding the
+    two up-phase operands separately performs the identical single add
+    per element as expanding their sum (verified bitwise on-chip at
+    (16,16,512), 2026-08-19 — state, QOI trace and final carry sum all
+    exactly equal).  Here: the routing predicates and the expand
+    identity itself (CPU-checkable)."""
+    from parmgmc_tpu.operators.stencil import shifted_laplace_fd
+    from parmgmc_tpu.samplers.mgmc import MGMCSampler
+
+    smp = MGMCSampler.create(
+        shifted_laplace_fd((16, 16, 512), 1.0, dtype=jnp.float32),
+        n_pre=1, n_post=0, coarsest_size=512, coarsening="aggregate",
+        impl="fused_fd",
+    )
+    assert smp.deferred_eligible()
+    # level 1 = (8, 8, 256): lanes 256 %128 == 0 (down-fusable) but 256
+    # does not divide 128 (no duplicated-layout tail) -> branch active
+    assert smp._down_fused_eligible(1)
+    assert not smp._tail_fused_eligible(1)
+
+    # the expand identity: dup(a) + dup(b) == dup(a + b) bitwise, both
+    # carry layouts
+    key = jax.random.PRNGKey(3)
+    a = jax.random.normal(key, (4, 8, 16), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(4), (4, 8, 16), jnp.float32)
+
+    def dup_zx2(v):
+        return jnp.broadcast_to(v[..., None], (*v.shape, 2)).reshape(
+            4, 8, 32
+        )
+
+    def dup_zf(v):
+        return jnp.broadcast_to(
+            v[:, :, None, :, None], (4, 8, 2, 16, 2)
+        ).reshape(4, 16, 32)
+
+    assert bool(jnp.all(dup_zx2(a) + dup_zx2(b) == dup_zx2(a + b)))
+    assert bool(jnp.all(dup_zf(a) + dup_zf(b) == dup_zf(a + b)))
+
+    # 128-lane level-1 shapes (the 256^3 family) keep the closed tail
+    # path: level 1 lanes divide 128
+    smp2 = MGMCSampler.create(
+        shifted_laplace_fd((16, 16, 256), 1.0, dtype=jnp.float32),
+        n_pre=1, n_post=0, coarsest_size=128, coarsening="aggregate",
+        impl="fused_fd",
+    )
+    assert smp2._tail_fused_eligible(1)
+
+
 def test_sample_chain_deferred_matches_standard():
     """step_deferred drives the identical chain (deterministic kernel
     paths can't run the on-chip PRNG on CPU, so this exercises the
