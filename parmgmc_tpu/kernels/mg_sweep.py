@@ -1462,7 +1462,16 @@ def _tile2d_staged(N0, N1, N2, *, with_b, with_z, requested=None, t1_mult=_JB2):
     # + prow 4 + out blocks ~1.5*T0 + ~6 slab temporaries of (T0+2).
     a = 13.5 + (3 if with_b else 0) + (1 if with_z else 0)
     c = 32
-    best = None
+    # Tiles whose scoped-VMEM estimate runs close to VMEM_LIMIT are
+    # MEASURED slower despite better amplification keys (768^3 chain,
+    # 2026-08-19, examples/probe_chain768.py: (16,128) @117 MB 32.9 ms
+    # and (8,256) @125 MB 34.9 ms vs (16,96) @91 MB 31.0 ms and
+    # (8,192) @95 MB 30.9 ms) — prefer tiles under the soft cap and
+    # fall back to the full range only if none fits.  110 MB keeps the
+    # measured-good (16,96) feasible for the with_b chain (107 MB)
+    # while excluding the measured-slow >115 MB tiles.
+    soft_vmem = 110_000_000
+    best = best_soft = None
     for T0 in (24, 16, 8, 4):
         if N0 % T0 or N0 < 2 * T0:
             continue
@@ -1475,11 +1484,18 @@ def _tile2d_staged(N0, N1, N2, *, with_b, with_z, requested=None, t1_mult=_JB2):
             vol = (T0 + 2) * W1 * N2
             if vol > (3_200_000 if W1 <= 144 else 2_400_000):
                 continue
-            if (a * T0 + c) * W1 * N2 * 4 > VMEM_LIMIT:
+            vm = (a * T0 + c) * W1 * N2 * 4
+            if vm > VMEM_LIMIT:
                 continue
             key = ((T0 + 2) / T0 * W1 / T1, -T0 * T1)
             if best is None or key < best[0]:
                 best = (key, (T0, T1))
+            if vm <= soft_vmem and (
+                best_soft is None or key < best_soft[0]
+            ):
+                best_soft = (key, (T0, T1))
+    if best_soft is not None:
+        return best_soft[1]
     if best is None:
         raise ValueError(
             f"no feasible staged 2D tile for grid ({N0}, {N1}, {N2})"

@@ -52,7 +52,10 @@ def _agg_down_1d(f, axis):
     f = jnp.moveaxis(f, axis, -1)
     nf = f.shape[-1]
     m = nf // 2
-    pair = f[..., : 2 * m].reshape(f.shape[:-1] + (m, 2)).sum(-1)
+    # explicit pair add == .sum(-1) bitwise; measured faster on TPU
+    # (examples/probe_pairsum.py)
+    fp = f[..., : 2 * m].reshape(f.shape[:-1] + (m, 2))
+    pair = fp[..., 0] + fp[..., 1]
     if nf % 2:
         pair = jnp.concatenate([pair, f[..., 2 * m :]], axis=-1)
     return jnp.moveaxis(pair, -1, axis)

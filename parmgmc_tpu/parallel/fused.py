@@ -155,11 +155,12 @@ def _sharded_zero_down(
         n0_global=n0_global,
     )
     n1, n2 = bl_loc.shape[1], bl_loc.shape[2]
-    rc_loc = (
-        rq[1:-1]  # drop the two halo rows' coarse images
-        .reshape(n_loc // 2, n1 // 2, n2 // 2, 2)
-        .sum(-1)
+    # explicit pair add == .sum(-1) bitwise, measured faster
+    # (examples/probe_pairsum.py)
+    rp = rq[1:-1].reshape(  # drop the two halo rows' coarse images
+        n_loc // 2, n1 // 2, n2 // 2, 2
     )
+    rc_loc = rp[..., 0] + rp[..., 1]
     return y[2:-2], rc_loc
 
 
@@ -207,11 +208,12 @@ def _sharded_chain_down(
         n0_global=n0_global,
     )
     n1, n2 = x_loc.shape[1], x_loc.shape[2]
-    rc_loc = (
-        rq[2:-2]  # drop the four halo rows' coarse images
-        .reshape(n_loc // 2, n1 // 2, n2 // 2, 2)
-        .sum(-1)
+    # explicit pair add == .sum(-1) bitwise, measured faster
+    # (examples/probe_pairsum.py)
+    rp = rq[2:-2].reshape(  # drop the four halo rows' coarse images
+        n_loc // 2, n1 // 2, n2 // 2, 2
     )
+    rc_loc = rp[..., 0] + rp[..., 1]
     return xpy[4:-4], rc_loc
 
 
