@@ -25,5 +25,5 @@ from parmgmc_tpu.samplers.patch_gibbs import (  # noqa: E402,F401
     PatchGibbsSampler,
 )
 from parmgmc_tpu.samplers.sor import NaturalGibbsSampler  # noqa: E402,F401
-from parmgmc_tpu.samplers.registry import build_sampler  # noqa: E402,F401
+from parmgmc_tpu.samplers.registry import build_sampler, lax_variant  # noqa: E402,F401
 from parmgmc_tpu.describe import describe  # noqa: E402,F401

@@ -183,5 +183,16 @@ def sample_moments(
 
 
 def multi_chain(fn: Callable, n_chains: int):
-    """vmap a chain function over a leading axis of keys/states."""
+    """vmap a chain function over a leading axis of keys/states.
+
+    The reference runs multiple chains serially (``examples/ex6.c:
+    184-188``, ``ex7.c:198-216``); on TPU the chain axis vectorizes.
+
+    Fused-Pallas samplers (``impl="fused_fd"``, auto-selected on TPU at
+    256^3+ sizes) do NOT vmap — their manual in-kernel DMA cannot be
+    re-indexed by the batching rule and Mosaic rejects the lowering.
+    Wrap the sampler with :func:`parmgmc_tpu.samplers.registry.
+    lax_variant` first (and see its docstring for why batching fused
+    chains would not pay at those sizes anyway).
+    """
     return jax.vmap(fn)

@@ -96,22 +96,11 @@ def shard_array(x, mesh: Mesh, grid_specs):
 def _force_lax_impl(sampler):
     """Pallas fused kernels assume whole-array semantics and do not
     partition under GSPMD; sharded samplers must use the lax sweeps
-    (whose stencil shifts become collective-permute halo exchanges)."""
-    import dataclasses
+    (whose stencil shifts become collective-permute halo exchanges).
+    (Alias of :func:`parmgmc_tpu.samplers.registry.lax_variant`.)"""
+    from parmgmc_tpu.samplers.registry import lax_variant
 
-    def fix(obj):
-        if hasattr(obj, "impl") and getattr(obj, "impl", "lax") != "lax":
-            obj = dataclasses.replace(obj, impl="lax")
-        for f in ("smoothers",):
-            if hasattr(obj, f):
-                obj = dataclasses.replace(
-                    obj, **{f: tuple(fix(s) for s in getattr(obj, f))}
-                )
-        if hasattr(obj, "sampler"):  # Woodbury wrapper
-            obj = dataclasses.replace(obj, sampler=fix(obj.sampler))
-        return obj
-
-    return fix(sampler)
+    return lax_variant(sampler)
 
 
 def shard_sampler(sampler, mesh: Mesh, min_local: int = 4, grid_axes=None):

@@ -29,7 +29,47 @@ from parmgmc_tpu.samplers.gibbs import GibbsSampler
 from parmgmc_tpu.samplers.mgmc import MGMCSampler, build_hierarchy
 from parmgmc_tpu.samplers.woodbury import WoodburySampler
 
-__all__ = ["build_sampler", "register_sampler"]
+__all__ = ["build_sampler", "lax_variant", "register_sampler"]
+
+
+def lax_variant(sampler):
+    """The same sampler with every fused Pallas smoother downgraded to
+    the pure-lax sweeps (``impl="lax"``), recursively.
+
+    Two situations need it:
+
+    * **GSPMD sharding** — the Pallas kernels assume whole-array
+      semantics and do not partition (``parallel.shard_sampler`` calls
+      this automatically).
+    * **vmapped multi-chain on TPU** — the fused kernels stream their
+      operands through manual in-kernel DMA, which ``jax.vmap``'s
+      pallas batching rule cannot re-index; vmapping a fused sampler
+      fails at Mosaic lowering (measured 2026-08-19,
+      examples/probe_vmap_pallas.py).  Note that at fused-eligible
+      sizes (256^3+) the chip is bandwidth-bound, so batched chains
+      could not beat one-chain-at-a-time throughput anyway — vmapped
+      chains are the scaling axis for SMALL (launch-bound) problems,
+      which run lax sweeps in the first place.
+
+    The sampler family is unchanged (identical update order and
+    math); only the noise stream differs (threefry instead of the
+    kernels' on-chip counter PRNG).
+    """
+    import dataclasses
+
+    def fix(obj):
+        if hasattr(obj, "impl") and getattr(obj, "impl", "lax") != "lax":
+            obj = dataclasses.replace(obj, impl="lax")
+        for f in ("smoothers",):
+            if hasattr(obj, f):
+                obj = dataclasses.replace(
+                    obj, **{f: tuple(fix(s) for s in getattr(obj, f))}
+                )
+        if hasattr(obj, "sampler"):  # Woodbury wrapper
+            obj = dataclasses.replace(obj, sampler=fix(obj.sampler))
+        return obj
+
+    return fix(sampler)
 
 _REGISTRY: Dict[str, Callable] = {}
 
