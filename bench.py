@@ -55,7 +55,24 @@ DTYPE = jnp.float32
 BASELINE_ESS_PER_SEC = 74.0 * (256 / N) ** 3
 
 
-def main():
+def _posterior_problem(n, k=5, dtype=jnp.float32):
+    """256^3-style Bayesian posterior: GMRF prior + k ball-average
+    observations (BASELINE.md eval config 4; reference ex4/obs.c)."""
+    from parmgmc_tpu.models.obs import make_observation_mats
+    from parmgmc_tpu.models.problems import gmrf_3d
+    from parmgmc_tpu.operators.lrc import LRCOperator
+
+    base = gmrf_3d(n, kappa=1.0, dtype=dtype)
+    rng = np.random.default_rng(0)
+    coords = 0.15 + 0.7 * rng.random((k, 3))
+    B, sigma_inv, f = make_observation_mats(
+        base.grid_shape, 0.01, coords, np.full(k, 0.12),
+        obsvals=rng.standard_normal(k), dtype=dtype,
+    )
+    return LRCOperator(base=base, B=B, sigma_inv=sigma_inv), f
+
+
+def main(posterior: bool = False):
     from parmgmc_tpu.chain import (
         ChainState,
         sample_chain,
@@ -67,14 +84,22 @@ def main():
     # Best measured config (sweep in BENCH_NOTES.md): plain-aggregation
     # hierarchy (star stencils at every level -> fused Pallas sweeps with
     # on-chip noise), V(1,0) cycles (tau ~= 1.07), deep coarsening.
-    op = gmrf_3d(N, kappa=1.0, dtype=DTYPE)
+    if posterior:
+        # Bayesian posterior (LRC) config: same hierarchy, level-0 chain
+        # kernel UNCHANGED, low-rank terms on the b stream + rank-k
+        # corrections (samplers/mgmc.py::_lrc_chain_step).
+        op, b = _posterior_problem(N, k=5, dtype=DTYPE)
+    else:
+        op = gmrf_3d(N, kappa=1.0, dtype=DTYPE)
+        # b=None: zero RHS (prior sampling).  The chain kernel then skips
+        # the b HBM stream entirely (bit-identical to explicit zeros, one
+        # fewer fine-grid read per step — kernels.mg_sweep with_b=False).
+        b = None
     sampler = MGMCSampler.create(
         op, n_pre=1, n_post=0, coarsest_size=128, coarsening="aggregate"
     )
-    # b=None: zero RHS (prior sampling).  The chain kernel then skips
-    # the b HBM stream entirely (bit-identical to explicit zeros, one
-    # fewer fine-grid read per step — kernels.mg_sweep with_b=False).
-    b = None
+    if posterior:
+        assert sampler._lrc_chain_eligible(), "posterior fused path not engaged"
     qoi = lambda x: jnp.mean(x)
 
     # Pass sampler + b as jit ARGUMENTS: closing over them would embed the
@@ -128,14 +153,49 @@ def main():
     tau = max(float(tau), 1.0)
     ess_per_sec = 1.0 / (tau * dt)
 
+    # tau_probe: the emcee-window estimate at large N swings +-20-35%
+    # with the trace section (BENCH_NOTES 2026-08-19), so a single tau
+    # is not interpretable stand-alone.  Report tau from three
+    # half-length sections alongside the full-window headline value —
+    # a REAL mixing regression moves all sections together; estimator
+    # noise scatters them around ~1.
+    m = len(q)
+    tau_secs = []
+    for lo, hi in ((0, m // 2), (m // 4, 3 * m // 4), (m // 2, m)):
+        t_s, _ = iact(q[lo:hi])
+        tau_secs.append(round(max(float(t_s), 1.0), 3))
+
+    # HBM utilization: model of fine-grid-equivalent HBM passes per
+    # cycle for the deferred V(1,0) chain (kernel streams: read x,
+    # read z-carry [1/2], write xpy, write rq [1/2]; +read b when
+    # with_b; pair-add glue + carry production ~1.1; levels >= 1
+    # decay 8x per level ~0.25) -> achieved GB/s vs the measured
+    # ~360 GB/s effective copy bandwidth of this chip (CLAUDE.md).
+    if posterior:
+        # non-deferred chain (materialised x, prolong-add, mean QOI
+        # re-read ~3.6) + dense rank-k streams (B^T x, b_eff build,
+        # B^T xpy, Bb apply = 4k+2 at k=5) + kernel b stream
+        passes = 3.0 + 1.0 + 1.1 + 0.25 + 3.6 + 22.0
+    else:
+        passes = 3.0 + (0.0 if b is None else 1.0) + 1.1 + 0.25
+    n_pts = N**3
+    bytes_per_cycle = passes * 4.0 * n_pts
+    gbps = bytes_per_cycle / dt / 1e9
+    name = "posterior k=5 ball-obs" if posterior else "GMRF"
     print(
         json.dumps(
             {
-                "metric": f"ESS/sec, {N}^3 GMRF, MGMC agg-V(1,0) chain, f32, 1 chip"
+                "metric": f"ESS/sec, {N}^3 {name}, MGMC agg-V(1,0) chain, f32, 1 chip"
                 + ("" if valid else " (IACT window short)"),
                 "value": round(ess_per_sec, 2),
                 "unit": "ESS/sec",
                 "vs_baseline": round(ess_per_sec / BASELINE_ESS_PER_SEC, 2),
+                "tau": round(tau, 3),
+                "tau_sections": tau_secs,
+                "iact_valid": bool(valid),
+                "ms_per_cycle": round(dt * 1e3, 3),
+                "model_hbm_gbps": round(gbps, 1),
+                "hbm_frac_of_measured_360": round(gbps / 360.0, 3),
             }
         )
     )
@@ -335,6 +395,117 @@ def selftest_staged():
     print("selftest-staged OK: staged kernels match windowed bitwise")
 
 
+def selftest_lrc():
+    """TPU-gated checks of the LRC (posterior) fused routing with the
+    REAL kernels.
+
+    (1) Exact A/B of _lrc_chain_step's rank-k algebra against the
+        materialised oracle: same kernel invocations under the same
+        seeds produce bitwise-identical stochastic draws, so the two
+        sides differ only by the correction algebra (fp roundoff).
+    (2) Posterior moments: fused LRC MGMC chain vs lax LRC chain.
+    (3) Standalone GibbsSampler fused-LRC step vs lax (Stage A path).
+    Run ``python bench.py --selftest-lrc`` on a TPU."""
+    from parmgmc_tpu.chain import ChainState, sample_moments
+    from parmgmc_tpu.models.obs import make_observation_mats
+    from parmgmc_tpu.operators.lrc import LRCOperator
+    from parmgmc_tpu.operators.stencil import shifted_laplace_fd
+    from parmgmc_tpu.samplers.gibbs import GibbsSampler
+    from parmgmc_tpu.samplers.mgmc import MGMCSampler
+
+    GRID = (16, 16, 128)
+    base = shifted_laplace_fd(GRID, 1.0, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    k = 3
+    B, sigma_inv, f = make_observation_mats(
+        GRID, 0.05, 0.2 + 0.6 * rng.random((k, 3)), np.full(k, 0.2),
+        obsvals=rng.standard_normal(k), dtype=jnp.float32,
+    )
+    op = LRCOperator(base=base, B=B, sigma_inv=sigma_inv)
+
+    smp = MGMCSampler.create(
+        op, n_pre=1, n_post=0, coarsest_size=128, coarsening="aggregate"
+    )
+    assert smp._lrc_chain_eligible(), "LRC fused chain path not engaged"
+    s0 = smp.smoothers[0]
+    key = jax.random.PRNGKey(3)
+    x0 = jax.random.normal(jax.random.fold_in(key, 1), GRID, jnp.float32)
+
+    for b in (f, None):
+        _, got = smp.step(key, x0, b)
+        # materialised oracle, same keys -> same kernel noise bitwise
+        _, sub = jax.random.split(key)
+        sub, klr = jax.random.split(sub)
+        w = s0.sqrt_sigma_inv * jax.random.normal(klr, (op.k,), jnp.float32)
+        btx = op.bt_apply(x0)
+        b_eff = op.b_apply(w - op.sigma_inv * btx)
+        if b is not None:
+            b_eff = b_eff + b
+        xpy, _rc_raw, sub = smp._fused_chain_down(x0, b_eff, sub)
+        x_sm = xpy - jnp.tensordot(
+            s0.Bb_fw, op.bt_apply(xpy - x0), axes=((3,), (0,))
+        )
+        bz = jnp.zeros_like(x0) if b is None else b
+        rc_true = smp.transfers[0].restrict(bz - op.apply(x_sm))
+        sub, sub2 = jax.random.split(sub)
+        z1 = smp._cycle_keyed(1, rc_true, sub2)
+        want = x_sm + smp.transfers[0].prolong(z1)
+        rel = float(jnp.abs(got - want).max() / jnp.abs(want).max())
+        tag = "b=f" if b is not None else "b=None"
+        print(f"LRC chain algebra vs oracle ({tag}): rel {rel:.2e} (gate 1e-3)")
+        assert rel < 1e-3, (tag, rel)
+
+    def mgmc_moments(impl, n=20_000):
+        m = MGMCSampler.create(
+            op, n_pre=1, n_post=0, coarsest_size=128,
+            coarsening="aggregate", impl=impl,
+        )
+        run = jax.jit(
+            lambda smp_, st, bb: sample_moments(smp_, st, bb, n, burnin=200)
+        )
+        st = ChainState(x=jnp.zeros(GRID, jnp.float32), key=jax.random.PRNGKey(7))
+        _, mean, var = run(m, st, f)
+        return np.asarray(mean), np.asarray(var), m, n
+
+    mean_f, var_f, m_f, n = mgmc_moments("fused_fd")
+    assert m_f._lrc_chain_eligible()
+    mean_l, var_l, _, _ = mgmc_moments("lax")
+    se = np.sqrt((var_f + var_l) / n)
+    z = np.abs(mean_f - mean_l) / np.maximum(se, 1e-12)
+    rvar = np.abs(var_f - var_l) / np.maximum(var_l, 1e-12)
+    print(f"MGMC posterior: max z {z.max():.2f} (gate 10), mean z "
+          f"{z.mean():.2f} (gate 2.5), max rvar {rvar.max():.3f} (gate 0.2)")
+    assert z.max() < 10.0 and z.mean() < 2.5 and rvar.max() < 0.2
+
+    # Standalone Gibbs needs a well-conditioned base (kappa ~ h^-1) or
+    # its tau blows past what a 20k-sample moment gate can resolve.
+    op2 = LRCOperator(
+        base=shifted_laplace_fd(GRID, 40.0, dtype=jnp.float32),
+        B=B,
+        sigma_inv=sigma_inv,
+    )
+
+    def gibbs_moments(impl, n=20_000):
+        g = GibbsSampler.create(op2, omega=1.0, sweep="symmetric", impl=impl)
+        run = jax.jit(
+            lambda smp_, st, bb: sample_moments(smp_, st, bb, n, burnin=500)
+        )
+        st = ChainState(x=jnp.zeros(GRID, jnp.float32), key=jax.random.PRNGKey(9))
+        _, mean, var = run(g, st, f)
+        return np.asarray(mean), np.asarray(var), g, n
+
+    mean_f, var_f, g_f, n = gibbs_moments("fused_fd")
+    assert g_f.impl == "fused_fd" and g_f.is_lrc
+    mean_l, var_l, _, _ = gibbs_moments("lax")
+    se = np.sqrt((var_f + var_l) / n)
+    z = np.abs(mean_f - mean_l) / np.maximum(se, 1e-12)
+    rvar = np.abs(var_f - var_l) / np.maximum(var_l, 1e-12)
+    print(f"Gibbs posterior: max z {z.max():.2f} (gate 10), mean z "
+          f"{z.mean():.2f} (gate 2.5), max rvar {rvar.max():.3f} (gate 0.25)")
+    assert z.max() < 10.0 and z.mean() < 2.5 and rvar.max() < 0.25
+    print("selftest-lrc OK: fused posterior path matches oracle + lax chain")
+
+
 if __name__ == "__main__":
     if "--selftest" in sys.argv:
         selftest()
@@ -342,5 +513,8 @@ if __name__ == "__main__":
         selftest2d()
     elif "--selftest-staged" in sys.argv:
         selftest_staged()
+    elif "--selftest-lrc" in sys.argv:
+        selftest_lrc()
     else:
-        main()
+        main(posterior="--posterior" in sys.argv
+             or os.environ.get("BENCH_POSTERIOR", "0") == "1")

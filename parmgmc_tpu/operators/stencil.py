@@ -105,6 +105,41 @@ class StencilOperator:
         """Assemble the dense (n, n) matrix. For tests and coarse grids only."""
         return _to_dense_jit(self)
 
+    def to_csr(self):
+        """scipy CSR assembly (host-side, eager).  Feeds the large-n
+        sparse machinery: SparseCholeskySampler and the CPU baseline
+        benchmark.  Row i holds diag[i] plus coeff_o[i] at column i+o
+        for every in-grid offset o (matching :meth:`apply`)."""
+        import numpy as np
+        import scipy.sparse as sp
+
+        shape = self.grid_shape
+        n = self.n
+        idx = np.arange(n).reshape(shape)
+        rows = [np.arange(n)]
+        cols = [np.arange(n)]
+        vals = [np.asarray(self.diag, dtype=np.float64).reshape(-1)]
+        for off, c in zip(self.offsets, self.coeffs):
+            src = tuple(
+                slice(max(0, -o), s - max(0, o)) for o, s in zip(off, shape)
+            )
+            dst = tuple(
+                slice(max(0, o), s - max(0, -o)) for o, s in zip(off, shape)
+            )
+            r = idx[src].reshape(-1)
+            rows.append(r)
+            cols.append(idx[dst].reshape(-1))
+            ca = np.asarray(c, dtype=np.float64)
+            vals.append(
+                np.full(r.size, float(ca))
+                if ca.ndim == 0
+                else ca[src].reshape(-1)
+            )
+        return sp.csr_matrix(
+            (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+            shape=(n, n),
+        )
+
     def scale_dtype(self, dtype) -> "StencilOperator":
         return StencilOperator(
             offsets=self.offsets,
@@ -173,11 +208,20 @@ def detect_fd_params(op: "StencilOperator") -> "jax.Array | None":
     i.e. exactly what :func:`fd_stencil` builds); else None.  Requires
     SCALAR coefficients — array-valued (even if uniform) coefficient
     fields return None so callers fall back to general machinery rather
-    than receiving grid-shaped "scalars"."""
+    than receiving grid-shaped "scalars".
+
+    Detection inspects concrete values (``bool(jnp.allclose(...))``), so
+    it only works EAGERLY — sampler setup is documented as an eager-mode
+    operation.  Called on an operator of tracers (inside a user's jit)
+    it returns None rather than raising, and callers fall back to the
+    general (diag-streaming) machinery."""
     c0 = op.coeffs[0]
     if any(getattr(c, "ndim", 0) != 0 for c in op.coeffs):
         return None
-    if not all(bool(jnp.allclose(c, c0)) for c in op.coeffs[1:]):
+    try:
+        if not all(bool(jnp.allclose(c, c0)) for c in op.coeffs[1:]):
+            return None
+    except jax.errors.ConcretizationTypeError:
         return None
     hinv2 = -c0
     d = op.ndim
@@ -188,7 +232,11 @@ def detect_fd_params(op: "StencilOperator") -> "jax.Array | None":
         links = links + (i >= 1) + (i <= shape[ax] - 2)
     kappa2 = op.diag.reshape(-1)[op.n // 2] - hinv2 * links.reshape(-1)[op.n // 2]
     expected = kappa2 + hinv2 * links
-    if bool(jnp.allclose(op.diag, expected, rtol=1e-6)):
+    try:
+        diag_matches = bool(jnp.allclose(op.diag, expected, rtol=1e-6))
+    except jax.errors.ConcretizationTypeError:
+        return None
+    if diag_matches:
         # operator dtype (not f32): the hierarchy builder scales these
         # exactly; kernel wrappers cast to f32 at the call site
         return jnp.stack(

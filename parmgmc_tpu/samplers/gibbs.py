@@ -170,11 +170,9 @@ class GibbsSampler:
             # Record FD form even when the sweep impl is lax: the MGMC
             # tail kernel (kernels.mg_tail) gates on it, and detection
             # must happen HERE — at create time the coefficients are
-            # concrete, inside a jit trace they are tracers.
-            try:
-                fd_params = _detect_fd(base)
-            except jax.errors.ConcretizationTypeError:
-                fd_params = None
+            # concrete, inside a jit trace they are tracers (in which
+            # case detect_fd_params returns None by contract).
+            fd_params = _detect_fd(base)
         om = jnp.asarray(omega, dtype=base.dtype)
         noise_scale = jnp.sqrt((2.0 - om) / om) * jnp.sqrt(base.diag)
         return GibbsSampler(
@@ -254,6 +252,15 @@ class GibbsSampler:
         m = dict(zip(self.base.offsets, self.base.coeffs))
         return jnp.stack([m[o].astype(jnp.float32) for o in order])
 
+    def _bt_apply(self, x):
+        """(k,) = B^T x."""
+        ndim = self.base.ndim
+        return jnp.tensordot(self.B, x, axes=(tuple(range(ndim)), tuple(range(ndim))))
+
+    def _b_apply(self, w):
+        """grid-shaped = B w."""
+        return jnp.tensordot(self.B, w, axes=((self.base.ndim,), (0,)))
+
     def _fused_step(self, key, x, b):
         from parmgmc_tpu.kernels.rb_gibbs import (
             fused_rb_gibbs_sweep,
@@ -268,11 +275,24 @@ class GibbsSampler:
         dirs = (
             ["forward", "backward"] if self.sweep == "symmetric" else [self.sweep]
         )
+        if self.is_lrc:
+            # Low-rank RHS noise rides the kernel's existing b stream
+            # (the reference bolts its Woodbury machinery onto the
+            # UNCHANGED hot sweep the same way, mc_sor.c:101-112): per
+            # half-sweep, b_eff = b + B sqrt(Sigma^{-1}) eta2 is one
+            # rank-k tensordot in XLA, the fused kernel adds its own
+            # on-chip D^{1/2} eta field noise, and the post-correction
+            # x <- x - Bb (B^T x) is two cheap tensordots.
+            key, klr = jax.random.split(key)
+            w_all = self.sqrt_sigma_inv * jax.random.normal(
+                klr, (len(dirs), self.B.shape[-1]), x.dtype
+            )
         for i, d in enumerate(dirs):
+            b_eff = b if not self.is_lrc else b + self._b_apply(w_all[i])
             if self.impl == "fused_fd":
                 x = fused_rb_gibbs_sweep_fd(
                     x,
-                    b,
+                    b_eff,
                     coeffs,
                     self.fd_params[0],
                     self.fd_params[1],
@@ -284,7 +304,7 @@ class GibbsSampler:
             else:
                 x = fused_rb_gibbs_sweep(
                     x,
-                    b,
+                    b_eff,
                     self.base.diag,
                     coeffs,
                     self.omega.astype(jnp.float32),
@@ -292,10 +312,14 @@ class GibbsSampler:
                     extra * 2 + i,
                     sweep=d,
                 )
+            if self.is_lrc:
+                Bb = self.Bb_fw if d == "forward" else self.Bb_bw
+                ndim = self.base.ndim
+                x = x - jnp.tensordot(Bb, self._bt_apply(x), axes=((ndim,), (0,)))
         return key, x
 
     def step(self, key, x, b, aux=None):
-        if self.impl in ("fused", "fused_fd") and not self.is_lrc:
+        if self.impl in ("fused", "fused_fd"):
             return self._fused_step(key, x, b)
         key, sub = jax.random.split(key)
         noises = _draw(sub, self.noise_shapes(), x.dtype)

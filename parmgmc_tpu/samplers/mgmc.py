@@ -139,6 +139,10 @@ class MGMCSampler:
     n_levels: int
     n_coarse: int = 1  # iterations of the coarse sampler per cycle
     gamma: int = 1  # cycle index: 1 = V, 2 = W
+    # Precomputed rank-k correction matrices that keep the level-0 chain
+    # kernel on the LRC (posterior) path — see _lrc_chain_step.  None for
+    # plain-prior samplers.  {"RABb": (coarse,k), "H": (k,k)}
+    lrc_aux: object = None
 
     @staticmethod
     def create(
@@ -167,6 +171,32 @@ class MGMCSampler:
         )
         if coarse_sampler is None:
             coarse_sampler = CholeskySampler.create(ops[-1])
+        lrc_aux = None
+        s0 = smoothers[0] if smoothers else None
+        if (
+            s0 is not None
+            and s0.is_lrc
+            and getattr(s0, "impl", "lax") == "fused_fd"
+            and s0.sweep in ("forward", "backward")
+            and len(transfers) >= 1
+        ):
+            # Rank-k residual-correction matrices for the fused LRC
+            # chain path (one-time setup):
+            #   RABb = restrict(A_base @ Bb)   (coarse grid, k)
+            #   H    = B^T Bb                  (k, k)
+            # where Bb is the sweep-direction Woodbury factor the level-0
+            # smoother already carries (mc_sor.c:456-544 analogue).
+            base0 = ops[0].base
+            ndim = base0.ndim
+            Bb = s0.Bb_fw if s0.sweep == "forward" else s0.Bb_bw
+            cols = jnp.moveaxis(Bb, -1, 0)  # (k, *grid)
+            ABb = jax.vmap(base0.apply)(cols)
+            RABb = jnp.moveaxis(
+                jax.vmap(transfers[0].restrict)(ABb), 0, ndim
+            )
+            axes = tuple(range(ndim))
+            H = jnp.tensordot(ops[0].B, Bb, axes=(axes, axes))
+            lrc_aux = {"RABb": RABb, "H": H}
         return MGMCSampler(
             ops=tuple(ops),
             transfers=transfers,
@@ -177,6 +207,7 @@ class MGMCSampler:
             n_levels=len(ops),
             n_coarse=n_coarse,
             gamma=gamma,
+            lrc_aux=lrc_aux,
         )
 
     # -- properties ---------------------------------------------------------
@@ -246,17 +277,25 @@ class MGMCSampler:
         return x + self._cycle(0, r, noises)
 
     # -- keyed cycle: lets fused-kernel smoothers generate noise on chip ----
-    def _down_fused_eligible(self, l: int) -> bool:
+    def _down_fused_eligible(self, l: int, allow_lrc: bool = False) -> bool:
         """Can level l's whole down-phase (noise + from-zero pre-smooth +
         residual + restriction) run as ONE Pallas kernel?  Requires the
         flagship V(1,0) shape: a single forward/backward pre-sweep, no
-        post-sweep, FD-form smoother, plain-aggregation transfer."""
+        post-sweep, FD-form smoother, plain-aggregation transfer.
+
+        ``allow_lrc``: the kernel itself only knows the BASE stencil;
+        level-0 LRC samplers route through :meth:`_lrc_chain_step`, which
+        feeds the low-rank terms through the kernel's b stream and
+        corrects the restricted residual with precomputed rank-k
+        matrices — that caller passes allow_lrc=True."""
         if self.n_pre != 1 or self.n_post != 0 or self.gamma != 1:
             return False
         if l >= self.n_levels - 1:
             return False
         s = self.smoothers[l]
-        if getattr(s, "impl", "lax") != "fused_fd" or s.is_lrc:
+        if getattr(s, "impl", "lax") != "fused_fd" or (
+            s.is_lrc and not allow_lrc
+        ):
             return False
         if s.sweep not in ("forward", "backward"):
             return False
@@ -401,6 +440,77 @@ class MGMCSampler:
         rp = rq.reshape(n0 // 2, n1 // 2, n2 // 2, 2)
         rc = rp[..., 0] + rp[..., 1]
         return (xpy, rc, key, *out[2:])
+
+    # -- fused LRC (posterior) chain step ----------------------------------
+    def _lrc_chain_eligible(self) -> bool:
+        """Can the level-0 chain kernel serve an LRC (posterior) fine
+        operator?  Same kernel requirements as the prior chain path plus
+        the precomputed rank-k correction matrices from create()."""
+        return (
+            bool(self.smoothers)
+            and self.smoothers[0].is_lrc
+            and self.lrc_aux is not None
+            and self._down_fused_eligible(0, allow_lrc=True)
+            and self.grid_shape[0] % 4 == 0
+        )
+
+    def _lrc_chain_step(self, sub, x, b):
+        """One posterior chain step with level 0 on the UNCHANGED fused
+        chain kernel (the reference's design point: the Woodbury
+        machinery bolts onto the hot sweep without touching it,
+        /root/reference/src/mc_sor.c:101-112).  All low-rank work is
+        rank-k tensordots in XLA:
+
+        1. The low-rank RHS noise and the low-rank part of the chain
+           residual ride the kernel's b stream:
+               b_eff = b + B (w - Sigma^{-1} B^T x),  w = sqrt(Sigma^{-1}) eta2
+           so the kernel's internal residual b_eff - A x equals the true
+           LRC residual plus the B w noise term.
+        2. The kernel's restricted residual is corrected for (a) the B w
+           noise it saw, (b) the Woodbury post-correction it didn't see,
+           and (c) the low-rank part of the post-smooth residual:
+               rc = rc_kernel + restrict(A Bb) c
+                    - B_c (w + Sigma^{-1}(c - H c))
+           with c = B^T y_raw, H = B^T Bb, and B_c = ops[1].B the
+           hierarchy's already-restricted columns (B_c = P^T B_f).
+        3. The state correction fuses into the up-phase add:
+               x' = xpy_raw - Bb c + P z1.
+
+        Exactness of the algebra is A/B-tested against the materialised
+        oracle (same kernel invocations, explicit LRC residual) in the
+        TPU selftest; distributional correctness against the dense
+        posterior in tests/ + selftest moments."""
+        s = self.smoothers[0]
+        op0 = self.fine_op  # LRCOperator
+        ndim = s.base.ndim
+        axes = tuple(range(ndim))
+        sub, klr = jax.random.split(sub)
+        w = s.sqrt_sigma_inv * jax.random.normal(
+            klr, (op0.k,), x.dtype
+        )
+        btx = op0.bt_apply(x)
+        b_eff = op0.b_apply(w - op0.sigma_inv * btx)
+        if b is not None:
+            b_eff = b_eff + b
+        xpy_raw, rc_raw, sub = self._fused_chain_down(x, b_eff, sub)
+        c = op0.bt_apply(xpy_raw) - btx  # = B^T y_raw
+        Bb = s.Bb_fw if s.sweep == "forward" else s.Bb_bw
+        H = self.lrc_aux["H"]
+        RABb = self.lrc_aux["RABb"]
+        Bc = self.ops[1].B
+        cc = w + op0.sigma_inv * (c - H @ c)
+        rc = (
+            rc_raw
+            + jnp.tensordot(RABb, c, axes=((ndim,), (0,)))
+            - jnp.tensordot(Bc, cc, axes=((ndim,), (0,)))
+        )
+        sub, sub2 = jax.random.split(sub)
+        z1 = self._cycle_keyed(1, rc, sub2)
+        return (
+            xpy_raw
+            - jnp.tensordot(Bb, c, axes=((ndim,), (0,)))
+            + self.transfers[0].prolong(z1)
+        )
 
     # -- fused coarse tail: all sub-128-lane levels in one kernel ----------
     def _tail_fused_eligible(self, l: int) -> bool:
@@ -694,6 +804,8 @@ class MGMCSampler:
         substitute explicit zeros.  Samples are bit-identical to
         passing ``jnp.zeros_like(x)``."""
         key, sub = jax.random.split(key)
+        if self._lrc_chain_eligible():
+            return key, self._lrc_chain_step(sub, x, b)
         if any(
             getattr(s, "impl", "lax") in ("fused", "fused_fd")
             for s in self.smoothers
