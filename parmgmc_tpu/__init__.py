@@ -16,7 +16,11 @@ from parmgmc_tpu.chain import ChainState, init_chain, sample_chain, sample_momen
 from parmgmc_tpu.operators.lrc import LRCOperator  # noqa: E402,F401
 from parmgmc_tpu.operators.stencil import StencilOperator, shifted_laplace_fd  # noqa: E402,F401
 from parmgmc_tpu.operators.graph import GraphOperator, from_csr  # noqa: E402,F401
-from parmgmc_tpu.samplers.cholesky import CholeskySampler  # noqa: E402,F401
+from parmgmc_tpu.samplers.cholesky import (  # noqa: E402,F401
+    CholeskySampler,
+    SparseCholeskySampler,
+    exact_sampler,
+)
 from parmgmc_tpu.samplers.gibbs import GibbsSampler  # noqa: E402,F401
 from parmgmc_tpu.samplers.mgmc import MGMCSampler  # noqa: E402,F401
 from parmgmc_tpu.samplers.woodbury import WoodburySampler  # noqa: E402,F401

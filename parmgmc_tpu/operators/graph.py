@@ -117,6 +117,25 @@ class GraphOperator:
             x = jax.lax.dynamic_update_slice(x, upd, (s,))
         return x
 
+    def to_csr(self):
+        """scipy CSR of the operator in INTERNAL (colour-blocked)
+        ordering — the ordering every sampler on this operator works in.
+        Host-side, eager; feeds SparseCholeskySampler and the CPU
+        baseline benchmark."""
+        import scipy.sparse as sp
+
+        n = self.n
+        vals = np.asarray(self.vals, dtype=np.float64)
+        cols = np.asarray(self.cols)
+        rows = np.broadcast_to(np.arange(n)[:, None], cols.shape)
+        A = sp.csr_matrix(
+            (vals.reshape(-1), (rows.reshape(-1), cols.reshape(-1))),
+            shape=(n, n),
+        )
+        A = A + sp.diags(np.asarray(self.diag, dtype=np.float64))
+        A.eliminate_zeros()
+        return A.tocsr()
+
     # -- permutation helpers ---------------------------------------------------
     def to_internal(self, v_orig):
         return v_orig[self.perm]
