@@ -58,18 +58,16 @@ BASELINE_ESS_PER_SEC = 74.0 * (256 / N) ** 3
 def _posterior_problem(n, k=5, dtype=jnp.float32):
     """256^3-style Bayesian posterior: GMRF prior + k ball-average
     observations (BASELINE.md eval config 4; reference ex4/obs.c)."""
-    from parmgmc_tpu.models.obs import make_observation_mats
+    from parmgmc_tpu.models.obs import make_posterior_operator
     from parmgmc_tpu.models.problems import gmrf_3d
-    from parmgmc_tpu.operators.lrc import LRCOperator
 
     base = gmrf_3d(n, kappa=1.0, dtype=dtype)
     rng = np.random.default_rng(0)
     coords = 0.15 + 0.7 * rng.random((k, 3))
-    B, sigma_inv, f = make_observation_mats(
-        base.grid_shape, 0.01, coords, np.full(k, 0.12),
-        obsvals=rng.standard_normal(k), dtype=dtype,
+    op, f = make_posterior_operator(
+        base, 0.01, coords, np.full(k, 0.12), obsvals=rng.standard_normal(k)
     )
-    return LRCOperator(base=base, B=B, sigma_inv=sigma_inv), f
+    return op, f
 
 
 def main(posterior: bool = False):
@@ -413,6 +411,8 @@ def selftest_lrc():
     from parmgmc_tpu.samplers.gibbs import GibbsSampler
     from parmgmc_tpu.samplers.mgmc import MGMCSampler
 
+    from parmgmc_tpu.operators.lrc import with_patches
+
     GRID = (16, 16, 128)
     base = shifted_laplace_fd(GRID, 1.0, dtype=jnp.float32)
     rng = np.random.default_rng(5)
@@ -421,7 +421,8 @@ def selftest_lrc():
         GRID, 0.05, 0.2 + 0.6 * rng.random((k, 3)), np.full(k, 0.2),
         obsvals=rng.standard_normal(k), dtype=jnp.float32,
     )
-    op = LRCOperator(base=base, B=B, sigma_inv=sigma_inv)
+    op = with_patches(LRCOperator(base=base, B=B, sigma_inv=sigma_inv))
+    assert op.patch_vals is not None, "selftest should cover the patch path"
 
     smp = MGMCSampler.create(
         op, n_pre=1, n_post=0, coarsest_size=128, coarsening="aggregate"

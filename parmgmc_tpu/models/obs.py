@@ -96,8 +96,14 @@ def make_observation_mats(
 
 
 def make_posterior_operator(base, sigma2, coords, radii, obsvals=None):
-    """Convenience: LRCOperator + rhs f for a Bayesian inverse problem."""
+    """Convenience: LRCOperator + rhs f for a Bayesian inverse problem.
+
+    Ball-average columns are localized, so the returned operator
+    carries the sparse patch view (operators.lrc.with_patches) that
+    keeps the posterior chain's rank-k products off the HBM hot path."""
+    from parmgmc_tpu.operators.lrc import with_patches
+
     B, sigma_inv, f = make_observation_mats(
         base.grid_shape, sigma2, coords, radii, obsvals, dtype=base.dtype
     )
-    return LRCOperator(base=base, B=B, sigma_inv=sigma_inv), f
+    return with_patches(LRCOperator(base=base, B=B, sigma_inv=sigma_inv)), f

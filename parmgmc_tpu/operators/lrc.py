@@ -18,16 +18,31 @@ import jax.numpy as jnp
 from parmgmc_tpu._pytree import pytree_dataclass
 from parmgmc_tpu.operators.stencil import StencilOperator
 
-__all__ = ["LRCOperator"]
+__all__ = ["LRCOperator", "with_patches"]
 
 
 @pytree_dataclass
 class LRCOperator:
-    """A + B diag(sigma_inv) B^T with a stencil base operator A."""
+    """A + B diag(sigma_inv) B^T with a stencil base operator A.
+
+    ``patch_vals``/``patch_starts`` (optional) are a sparse view of B
+    for LOCALIZED columns (ball-average observations touch a tiny
+    fraction of the grid, obs.c:37-49): column j's nonzeros live in a
+    common-size box at ``patch_starts[j]``.  When present, ``bt_apply``
+    and ``b_apply`` run as k static dynamic-slices instead of dense
+    (*grid, k) contractions — on the 256^3 posterior that removes ~3k
+    full-grid HBM passes per chain step.  Build them with
+    :func:`with_patches`; the fields default to None (dense fallback)
+    and MUST only be attached eagerly (detection reads concrete
+    values).  The dense B stays authoritative: patch products equal the
+    dense ones up to fp summation order.
+    """
 
     base: StencilOperator
     B: jax.Array  # (*grid, k)
     sigma_inv: jax.Array  # (k,)
+    patch_vals: Union[jax.Array, None] = None  # (k, *box)
+    patch_starts: Union[jax.Array, None] = None  # (k, ndim) int32
 
     @property
     def grid_shape(self):
@@ -51,12 +66,45 @@ class LRCOperator:
 
     def bt_apply(self, x: jax.Array) -> jax.Array:
         """(k,) = B^T x for grid-shaped x."""
+        if self.patch_vals is not None:
+            box = self.patch_vals.shape[1:]
+            outs = []
+            for j in range(self.k):  # k is small and static
+                win = jax.lax.dynamic_slice(x, tuple(self.patch_starts[j]), box)
+                outs.append(jnp.sum(self.patch_vals[j] * win))
+            return jnp.stack(outs)
         axes = tuple(range(self.ndim))
         return jnp.tensordot(self.B, x, axes=(axes, axes))
 
     def b_apply(self, w: jax.Array) -> jax.Array:
         """grid-shaped = B w for (k,) w."""
+        if self.patch_vals is not None:
+            box = self.patch_vals.shape[1:]
+            out = jnp.zeros(self.grid_shape, self.B.dtype)
+            for j in range(self.k):  # sequential adds: balls may overlap
+                st = tuple(self.patch_starts[j])
+                win = jax.lax.dynamic_slice(out, st, box)
+                out = jax.lax.dynamic_update_slice(
+                    out, win + w[j] * self.patch_vals[j], st
+                )
+            return out
         return jnp.tensordot(self.B, w, axes=((self.ndim,), (0,)))
+
+    def b_apply_add(self, w: jax.Array, y: jax.Array) -> jax.Array:
+        """y + B w — with patches this updates y's ball windows in
+        place (XLA aliases the dynamic_update_slice chain), avoiding
+        the separate zeros+add pass of ``y + b_apply(w)``."""
+        if self.patch_vals is None:
+            return y + self.b_apply(w)
+        box = self.patch_vals.shape[1:]
+        out = y
+        for j in range(self.k):
+            st = tuple(self.patch_starts[j])
+            win = jax.lax.dynamic_slice(out, st, box)
+            out = jax.lax.dynamic_update_slice(
+                out, win + w[j] * self.patch_vals[j], st
+            )
+        return out
 
     def apply(self, x: jax.Array) -> jax.Array:
         return self.base.apply(x) + self.b_apply(self.sigma_inv * self.bt_apply(x))
@@ -64,3 +112,50 @@ class LRCOperator:
     def to_dense(self) -> jax.Array:
         Bf = self.B.reshape(self.n, self.k)
         return self.base.to_dense() + (Bf * self.sigma_inv) @ Bf.T
+
+
+def with_patches(op: "LRCOperator", max_fill: float = 0.25) -> "LRCOperator":
+    """Attach the sparse patch view of B when its columns are localized.
+
+    EAGER ONLY (reads concrete values).  Finds each column's nonzero
+    bounding box (numpy, host-side), pads all boxes to a common size,
+    and stores (k, *box) values + (k, ndim) starts.  Returns the
+    operator unchanged when the combined boxes exceed ``max_fill`` of
+    the grid (dense contractions win there) or when a column is empty.
+    """
+    import numpy as np
+
+    if op.patch_vals is not None:
+        return op
+    B = np.asarray(op.B)
+    gshape = B.shape[:-1]
+    k = B.shape[-1]
+    d = len(gshape)
+    boxes = []
+    for j in range(k):
+        nz = np.nonzero(B[..., j])
+        if nz[0].size == 0:
+            return op
+        boxes.append([(int(a.min()), int(a.max()) + 1) for a in nz])
+    ext = [max(hi - lo for (lo, hi) in (b[ax] for b in boxes)) for ax in range(d)]
+    if np.prod(ext) * k > max_fill * np.prod(gshape):
+        return op
+    starts = np.zeros((k, d), np.int32)
+    vals = np.zeros((k, *ext), B.dtype)
+    for j in range(k):
+        for ax in range(d):
+            lo = boxes[j][ax][0]
+            # clamp so the common box stays inside the grid
+            starts[j, ax] = min(lo, gshape[ax] - ext[ax])
+        sl = tuple(
+            slice(int(starts[j, ax]), int(starts[j, ax]) + ext[ax])
+            for ax in range(d)
+        )
+        vals[j] = B[sl + (j,)]
+    return LRCOperator(
+        base=op.base,
+        B=op.B,
+        sigma_inv=op.sigma_inv,
+        patch_vals=jnp.asarray(vals),
+        patch_starts=jnp.asarray(starts),
+    )

@@ -110,11 +110,17 @@ def build_hierarchy(op, n_levels=None, coarsest_size=128, coarsening="linear"):
             coarse_base = compress_stencil(galerkin_coarse_operator(base, tr))
         transfers.append(tr)
         if is_lrc:
+            from parmgmc_tpu.operators.lrc import with_patches
+
             ndim = base.ndim
             cols = jnp.moveaxis(cur.B, -1, 0)
             Bc = jnp.moveaxis(jax.vmap(tr.restrict)(cols), 0, ndim)
+            # restricted ball columns stay localized: keep the sparse
+            # patch view so coarse-level rank-k products stay cheap
             ops.append(
-                LRCOperator(base=coarse_base, B=Bc, sigma_inv=cur.sigma_inv)
+                with_patches(
+                    LRCOperator(base=coarse_base, B=Bc, sigma_inv=cur.sigma_inv)
+                )
             )
         else:
             ops.append(coarse_base)
@@ -489,20 +495,20 @@ class MGMCSampler:
             klr, (op0.k,), x.dtype
         )
         btx = op0.bt_apply(x)
-        b_eff = op0.b_apply(w - op0.sigma_inv * btx)
+        wv = w - op0.sigma_inv * btx
         if b is not None:
-            b_eff = b_eff + b
+            b_eff = op0.b_apply_add(wv, b)
+        else:
+            b_eff = op0.b_apply(wv)
         xpy_raw, rc_raw, sub = self._fused_chain_down(x, b_eff, sub)
         c = op0.bt_apply(xpy_raw) - btx  # = B^T y_raw
         Bb = s.Bb_fw if s.sweep == "forward" else s.Bb_bw
         H = self.lrc_aux["H"]
         RABb = self.lrc_aux["RABb"]
-        Bc = self.ops[1].B
         cc = w + op0.sigma_inv * (c - H @ c)
-        rc = (
-            rc_raw
-            + jnp.tensordot(RABb, c, axes=((ndim,), (0,)))
-            - jnp.tensordot(Bc, cc, axes=((ndim,), (0,)))
+        # -B_c cc via the coarse operator's (patch-aware) product
+        rc = self.ops[1].b_apply_add(
+            -cc, rc_raw + jnp.tensordot(RABb, c, axes=((ndim,), (0,)))
         )
         sub, sub2 = jax.random.split(sub)
         z1 = self._cycle_keyed(1, rc, sub2)

@@ -25,15 +25,41 @@ from parmgmc_tpu.samplers.sor import sor_sweep
 GRID = (8, 16, 128)  # kernel-eligible shape (lane dim % 128)
 
 
-def make_posterior(k=3, dtype=jnp.float32):
+def make_posterior(k=3, dtype=jnp.float32, patches=True):
+    from parmgmc_tpu.operators.lrc import with_patches
+
     base = shifted_laplace_fd(GRID, 1.0, dtype=dtype)
     coords = np.array(
         [[0.3, 0.4, 0.5], [0.6, 0.3, 0.2], [0.5, 0.7, 0.8]][:k]
     )
     B, sigma_inv, f = make_observation_mats(
-        GRID, 0.1, coords, np.full(k, 0.25), obsvals=np.ones(k), dtype=dtype
+        GRID, 0.1, coords, np.full(k, 0.15), obsvals=np.ones(k), dtype=dtype
     )
-    return LRCOperator(base=base, B=B, sigma_inv=sigma_inv), f
+    op = LRCOperator(base=base, B=B, sigma_inv=sigma_inv)
+    return (with_patches(op) if patches else op), f
+
+
+def test_patch_products_match_dense():
+    """The sparse patch view's B^T x / B w / y + B w equal the dense
+    contractions (up to fp summation order)."""
+    op, _ = make_posterior()
+    assert op.patch_vals is not None, "ball columns should patchify"
+    dense = LRCOperator(base=op.base, B=op.B, sigma_inv=op.sigma_inv)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, GRID, jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (op.k,), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(op.bt_apply(x)), np.asarray(dense.bt_apply(x)), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(op.b_apply(w)), np.asarray(dense.b_apply(w)),
+        atol=1e-6 * float(jnp.abs(dense.b_apply(w)).max()),
+    )
+    np.testing.assert_allclose(
+        np.asarray(op.b_apply_add(w, x)),
+        np.asarray(x + dense.b_apply(w)),
+        atol=2e-5 * float(jnp.abs(x).max()),
+    )
 
 
 def _fake_sweep(x, b, coeffs, kappa2, hinv2, omega, seed, step, sweep="forward", **kw):
