@@ -507,6 +507,76 @@ def selftest_lrc():
     print("selftest-lrc OK: fused posterior path matches oracle + lax chain")
 
 
+def selftest_patch():
+    """TPU-gated checks of the fused patch-Gibbs sweep kernel.
+
+    (1) Moments: fused patch chain vs lax patch chain on a small
+        squared-prior problem (proper two-sample SE — the lax chain is
+        expensive, so it runs fewer steps).
+    (2) Throughput: ms/sweep at 128^3 (the ex9 regime), gate 300 ms —
+        the lax path measured 3.4 s/sweep there (round-2 PARITY).
+    Run ``python bench.py --selftest-patch`` on a TPU."""
+    import time
+
+    from parmgmc_tpu.chain import ChainState, sample_moments
+    from parmgmc_tpu.models.problems import squared_shifted_laplace_fd
+    from parmgmc_tpu.samplers.patch_gibbs import PatchGibbsSampler
+
+    GRID = (16, 10, 128)
+    op = squared_shifted_laplace_fd(GRID, 1.3, dtype=jnp.float32)
+    b = jnp.full(GRID, 5.0, jnp.float32)
+
+    def moments(impl, n):
+        smp = PatchGibbsSampler.create(op, impl=impl)
+        if impl == "fused":
+            assert smp.impl == "fused", "fused patch kernel not engaged"
+        run = jax.jit(
+            lambda smp_, st, bb: sample_moments(smp_, st, bb, n, burnin=50)
+        )
+        st = ChainState(x=jnp.zeros(GRID, jnp.float32), key=jax.random.PRNGKey(2))
+        _, mean, var = run(smp, st, b)
+        return np.asarray(mean), np.asarray(var), n
+
+    mean_f, var_f, nf = moments("fused", 4000)
+    mean_l, var_l, nl = moments("lax", 1000)
+    se = np.sqrt(var_f / nf + var_l / nl)
+    z = np.abs(mean_f - mean_l) / np.maximum(se, 1e-12)
+    rvar = np.abs(var_f - var_l) / np.maximum(var_l, 1e-12)
+    print(f"patch moments: max z {z.max():.2f} (gate 10), mean z "
+          f"{z.mean():.2f} (gate 2.5), max rvar {rvar.max():.3f} (gate 0.35)")
+    assert z.max() < 10.0 and z.mean() < 2.5
+    # var-gap tolerance reflects the short lax chain (SE ~ sqrt(2/n))
+    assert rvar.max() < 0.35
+
+    # throughput at the ex9 regime
+    op3 = squared_shifted_laplace_fd((128, 128, 128), 1.0, dtype=jnp.float32)
+    smp3 = PatchGibbsSampler.create(op3)
+    assert smp3.impl == "fused", "128^3 should route to the fused kernel"
+    b3 = jnp.zeros((128, 128, 128), jnp.float32)
+
+    def sweep_n(smp_, st, bb, n):
+        def f(carry, _):
+            key, x = carry
+            key, x = smp_.step(key, x, bb)
+            return (key, x), None
+
+        (key, x), _ = jax.lax.scan(f, (st.key, st.x), None, length=n)
+        return x
+
+    run = jax.jit(lambda smp_, st, bb: sweep_n(smp_, st, bb, 20))
+    st = ChainState(x=jnp.zeros((128,) * 3, jnp.float32), key=jax.random.PRNGKey(1))
+    x = run(smp3, st, b3)
+    float(jnp.sum(x))  # fence
+    t0 = time.perf_counter()
+    x = run(smp3, st, b3)
+    float(jnp.sum(x))
+    dt = (time.perf_counter() - t0) / 20
+    print(f"fused patch sweep at 128^3: {dt * 1e3:.1f} ms/sweep "
+          f"(lax path: ~3400 ms; gate 300)")
+    assert dt < 0.3, dt
+    print("selftest-patch OK")
+
+
 if __name__ == "__main__":
     if "--selftest" in sys.argv:
         selftest()
@@ -516,6 +586,8 @@ if __name__ == "__main__":
         selftest_staged()
     elif "--selftest-lrc" in sys.argv:
         selftest_lrc()
+    elif "--selftest-patch" in sys.argv:
+        selftest_patch()
     else:
         main(posterior="--posterior" in sys.argv
              or os.environ.get("BENCH_POSTERIOR", "0") == "1")

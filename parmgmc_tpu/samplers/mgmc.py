@@ -127,6 +127,37 @@ def build_hierarchy(op, n_levels=None, coarsest_size=128, coarsening="linear"):
     return ops, tuple(transfers)
 
 
+def compute_lrc_aux(ops, transfers, smoothers):
+    """Rank-k residual-correction matrices for the fused LRC chain
+    path (one-time setup), or None when the configuration cannot use
+    them:
+
+        RABb = restrict(A_base @ Bb)   (coarse grid, k)
+        H    = B^T Bb                  (k, k)
+
+    where Bb is the sweep-direction Woodbury factor the level-0
+    smoother already carries (mc_sor.c:456-544 analogue).  Shared by
+    MGMCSampler.create and the registry's mgmc builder."""
+    s0 = smoothers[0] if smoothers else None
+    if not (
+        s0 is not None
+        and getattr(s0, "is_lrc", False)
+        and getattr(s0, "impl", "lax") == "fused_fd"
+        and s0.sweep in ("forward", "backward")
+        and len(transfers) >= 1
+    ):
+        return None
+    base0 = ops[0].base
+    ndim = base0.ndim
+    Bb = s0.Bb_fw if s0.sweep == "forward" else s0.Bb_bw
+    cols = jnp.moveaxis(Bb, -1, 0)  # (k, *grid)
+    ABb = jax.vmap(base0.apply)(cols)
+    RABb = jnp.moveaxis(jax.vmap(transfers[0].restrict)(ABb), 0, ndim)
+    axes = tuple(range(ndim))
+    H = jnp.tensordot(ops[0].B, Bb, axes=(axes, axes))
+    return {"RABb": RABb, "H": H}
+
+
 @pytree_dataclass(meta=("n_pre", "n_post", "n_levels", "n_coarse", "gamma"))
 class MGMCSampler:
     """Stochastic V/W(n_pre, n_post)-cycle chain sampler for N(A^{-1}b, A^{-1}).
@@ -177,32 +208,7 @@ class MGMCSampler:
         )
         if coarse_sampler is None:
             coarse_sampler = CholeskySampler.create(ops[-1])
-        lrc_aux = None
-        s0 = smoothers[0] if smoothers else None
-        if (
-            s0 is not None
-            and s0.is_lrc
-            and getattr(s0, "impl", "lax") == "fused_fd"
-            and s0.sweep in ("forward", "backward")
-            and len(transfers) >= 1
-        ):
-            # Rank-k residual-correction matrices for the fused LRC
-            # chain path (one-time setup):
-            #   RABb = restrict(A_base @ Bb)   (coarse grid, k)
-            #   H    = B^T Bb                  (k, k)
-            # where Bb is the sweep-direction Woodbury factor the level-0
-            # smoother already carries (mc_sor.c:456-544 analogue).
-            base0 = ops[0].base
-            ndim = base0.ndim
-            Bb = s0.Bb_fw if s0.sweep == "forward" else s0.Bb_bw
-            cols = jnp.moveaxis(Bb, -1, 0)  # (k, *grid)
-            ABb = jax.vmap(base0.apply)(cols)
-            RABb = jnp.moveaxis(
-                jax.vmap(transfers[0].restrict)(ABb), 0, ndim
-            )
-            axes = tuple(range(ndim))
-            H = jnp.tensordot(ops[0].B, Bb, axes=(axes, axes))
-            lrc_aux = {"RABb": RABb, "H": H}
+        lrc_aux = compute_lrc_aux(ops, transfers, smoothers)
         return MGMCSampler(
             ops=tuple(ops),
             transfers=transfers,
@@ -454,7 +460,7 @@ class MGMCSampler:
         the precomputed rank-k correction matrices from create()."""
         return (
             bool(self.smoothers)
-            and self.smoothers[0].is_lrc
+            and getattr(self.smoothers[0], "is_lrc", False)
             and self.lrc_aux is not None
             and self._down_fused_eligible(0, allow_lrc=True)
             and self.grid_shape[0] % 4 == 0

@@ -66,16 +66,69 @@ def _ingrid_mask(shape, off, dtype):
     return jnp.asarray(m, dtype=dtype)
 
 
-@pytree_dataclass(meta=("patch_offsets", "ncolor_base"))
+def detect_squared_fd(op) -> "jax.Array | None":
+    """(kappa2, hinv2) of F if ``op == F^2`` for a link-count FD
+    operator F = kappa2 + hinv2 * links (3D, scalar parameters) — the
+    form the FUSED patch-sweep kernel reconstructs in closed form
+    (kernels.patch_sweep).  Recovery: the (0,0,2) coefficient of F^2 is
+    exactly hinv2^2 (one path via the always-in-grid midpoint) and an
+    interior diagonal is (kappa2 + 6 hinv2)^2 + 6 hinv2^2; the
+    candidate is then VERIFIED by probing op.apply against F(F(.)) on
+    random vectors.  Eager-only (returns None on tracers)."""
+    from parmgmc_tpu.operators.stencil import fd_stencil
+
+    if op.ndim != 3 or op.radius != 2:
+        return None
+    cmap = dict(zip(op.offsets, op.coeffs))
+    c2 = cmap.get((0, 0, 2))
+    if c2 is None or getattr(c2, "ndim", 0) != 0:
+        return None
+    try:
+        c2v = float(c2)
+        if c2v <= 0:
+            return None
+        h2 = float(np.sqrt(c2v))
+        ctr = tuple(s // 2 for s in op.grid_shape)
+        dint = float(op.diag[ctr]) - 6.0 * h2 * h2
+        if dint <= 0:
+            return None
+        k2 = float(np.sqrt(dint)) - 6.0 * h2
+        if k2 <= 0:
+            return None
+        F = fd_stencil(op.grid_shape, k2, h2, dtype=op.dtype)
+        key = jax.random.PRNGKey(0)
+        v = jax.random.normal(key, op.grid_shape, op.dtype)
+        want = op.apply(v)
+        got = F.apply(F.apply(v))
+        rel = float(jnp.abs(want - got).max() / jnp.abs(want).max())
+        if rel > 1e-5:
+            return None
+    except jax.errors.ConcretizationTypeError:
+        return None
+    return jnp.stack(
+        [jnp.asarray(k2, jnp.float32), jnp.asarray(h2, jnp.float32)]
+    )
+
+
+@pytree_dataclass(meta=("patch_offsets", "ncolor_base", "impl"))
 class PatchGibbsSampler:
-    """Coloured vertex-star block-Gibbs sweep for N(A^{-1}b, A^{-1})."""
+    """Coloured vertex-star block-Gibbs sweep for N(A^{-1}b, A^{-1}).
+
+    ``impl="fused"`` (auto-selected on TPU for squared link-count FD
+    operators) runs the whole 125-colour sweep as ONE Pallas kernel
+    with the state resident in VMEM (kernels.patch_sweep) — measured
+    ~25x the lax colour-pass path at 128^3.  The keyed ``step`` uses
+    it; ``step_with_noise`` (the invariance oracle's probe) always
+    runs the lax path."""
 
     base: StencilOperator
     patch_offsets: tuple  # k member offsets (first = (0,...,0))
     ncolor_base: int  # colours = ncolor_base ** ndim
+    sq_fd_params: "jax.Array | None" = None  # (kappa2, hinv2) of F
+    impl: str = "lax"
 
     @staticmethod
-    def create(op: StencilOperator) -> "PatchGibbsSampler":
+    def create(op: StencilOperator, impl: str = "auto") -> "PatchGibbsSampler":
         assert isinstance(op, StencilOperator)
         d = op.ndim
         patch = [(0,) * d]
@@ -84,8 +137,25 @@ class PatchGibbsSampler:
                 off = [0] * d
                 off[ax] = s
                 patch.append(tuple(off))
+        sq = None
+        if impl in ("auto", "fused"):
+            from parmgmc_tpu.kernels.patch_sweep import patch_sweep_supported
+
+            on_tpu = jax.default_backend() not in ("cpu", "gpu")
+            if (
+                (on_tpu or impl == "fused")
+                and op.dtype == jnp.float32
+                and op.radius + 3 == 5
+                and patch_sweep_supported(op.grid_shape)
+            ):
+                sq = detect_squared_fd(op)
+            impl = "fused" if sq is not None else "lax"
         return PatchGibbsSampler(
-            base=op, patch_offsets=tuple(patch), ncolor_base=op.radius + 3
+            base=op,
+            patch_offsets=tuple(patch),
+            ncolor_base=op.radius + 3,
+            sq_fd_params=sq,
+            impl=impl,
         )
 
     # -- protocol ------------------------------------------------------------
@@ -361,6 +431,21 @@ class PatchGibbsSampler:
         return None
 
     def step(self, key, x, b, aux=None):
+        if self.impl == "fused" and self.sq_fd_params is not None:
+            from parmgmc_tpu.kernels.patch_sweep import fused_patch_sweep_sqfd
+
+            key, k1, k2 = jax.random.split(key, 3)
+            seed = jax.random.randint(k1, (), 0, 2**31 - 1, dtype=jnp.int32)
+            stp = jax.random.randint(k2, (), 0, 2**31 - 1, dtype=jnp.int32)
+            x = fused_patch_sweep_sqfd(
+                x,
+                b,
+                self.sq_fd_params[0],
+                self.sq_fd_params[1],
+                seed,
+                stp,
+            )
+            return key, x
         key, sub = jax.random.split(key)
         noises = _draw(sub, self.noise_shapes(), x.dtype)
         return key, self.step_with_noise(x, b, noises)

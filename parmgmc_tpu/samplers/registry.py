@@ -26,7 +26,11 @@ from typing import Callable, Dict
 from parmgmc_tpu.operators.lrc import LRCOperator
 from parmgmc_tpu.samplers.cholesky import CholeskySampler
 from parmgmc_tpu.samplers.gibbs import GibbsSampler
-from parmgmc_tpu.samplers.mgmc import MGMCSampler, build_hierarchy
+from parmgmc_tpu.samplers.mgmc import (
+    MGMCSampler,
+    build_hierarchy,
+    compute_lrc_aux,
+)
 from parmgmc_tpu.samplers.woodbury import WoodburySampler
 
 __all__ = ["build_sampler", "lax_variant", "register_sampler"]
@@ -103,6 +107,15 @@ def _build_gibbs(op, cfg):
 
 @register_sampler("cholesky")
 def _build_cholesky(op, cfg):
+    mode = cfg.pop("mode", "dense")
+    if mode == "sparse":
+        from parmgmc_tpu.samplers.cholesky import SparseCholeskySampler
+
+        return SparseCholeskySampler.create(op)
+    if mode == "auto":
+        from parmgmc_tpu.samplers.cholesky import exact_sampler
+
+        return exact_sampler(op, cfg.pop("dense_threshold", 20_000))
     return CholeskySampler.create(op)
 
 
@@ -141,6 +154,7 @@ def _build_mgmc(op, cfg):
         n_levels=len(ops),
         n_coarse=cfg.pop("n_coarse", 1),
         gamma=cfg.pop("gamma", 1),
+        lrc_aux=compute_lrc_aux(ops, transfers, smoothers),
     )
 
 
