@@ -132,8 +132,8 @@ def _kernel(
     k2 = fscal_ref[0]
     h2 = fscal_ref[1]
     if with_noise:
-        su = pltpu.bitcast(iscal_ref[0], jnp.uint32)
-        stepu = pltpu.bitcast(iscal_ref[1], jnp.uint32)
+        su = iscal_ref[0].astype(jnp.uint32)
+        stepu = iscal_ref[1].astype(jnp.uint32)
     f32 = jnp.float32
 
     out_ref[...] = xp_ref[...]
