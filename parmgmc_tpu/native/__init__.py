@@ -108,6 +108,21 @@ def ref_sor_bench(n: int, nsweeps: int = 8, kappa2: float = 1.0,
     Returns (n_dof, sec_per_sweep, sec_per_noise_fill) or None if no
     toolchain is available.  Used to anchor bench.py's vs_baseline in a
     measured number (BENCH_NOTES.md)."""
+    if _sor_lib() is None:
+        return None
+    hinv2 = float((n + 1) ** 2)  # unit-domain FD scaling
+    sweep = ctypes.c_double()
+    fill = ctypes.c_double()
+    ndof = _SOR_LIB.pmg_ref_sor_bench(
+        n, nsweeps, kappa2, hinv2, omega,
+        ctypes.byref(sweep), ctypes.byref(fill),
+    )
+    return int(ndof), float(sweep.value), float(fill.value)
+
+
+def _sor_lib():
+    """Load (building if needed) the SOR-bench library; None if no
+    toolchain.  Shared by the structured and CSR entry points."""
     global _SOR_LIB, _SOR_TRIED
     with _LOCK:
         if not _SOR_TRIED:
@@ -124,22 +139,51 @@ def ref_sor_bench(n: int, nsweeps: int = 8, kappa2: float = 1.0,
                     )
                 L = ctypes.CDLL(_SOR_SO)
                 f64p = ctypes.POINTER(ctypes.c_double)
+                i64p = ctypes.POINTER(ctypes.c_int64)
+                i32p = ctypes.POINTER(ctypes.c_int32)
                 L.pmg_ref_sor_bench.restype = ctypes.c_int64
                 L.pmg_ref_sor_bench.argtypes = [
                     ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
                     ctypes.c_double, ctypes.c_double, f64p, f64p,
                 ]
+                L.pmg_ref_sor_bench_csr.restype = ctypes.c_int64
+                L.pmg_ref_sor_bench_csr.argtypes = [
+                    ctypes.c_int64, i64p, i32p, f64p, f64p,
+                    ctypes.c_int64, ctypes.c_double, f64p, f64p,
+                ]
                 _SOR_LIB = L
             except Exception:
                 _SOR_LIB = None
-    if _SOR_LIB is None:
+    return _SOR_LIB
+
+
+def ref_sor_bench_csr(A_csr, nsweeps: int = 8, omega: float = 1.0):
+    """Time the reference's multicolour CSR SOR hot loop on a
+    caller-provided matrix (colour-blocked row order — pass
+    ``GraphOperator.to_csr()``), one host core.
+
+    Returns (n, sec_per_sweep, sec_per_noise_fill) or None without a
+    toolchain.  Anchors the UNSTRUCTURED benchmark's vs_baseline
+    (examples/benchmark_matern.py --anchor-ranks)."""
+    import scipy.sparse as sp
+
+    L = _sor_lib()
+    if L is None:
         return None
-    hinv2 = float((n + 1) ** 2)  # unit-domain FD scaling
+    A = sp.csr_matrix(A_csr)
+    n = A.shape[0]
+    diag = np.ascontiguousarray(A.diagonal(), dtype=np.float64)
+    Aoff = (A - sp.diags(diag)).tocsr()
+    Aoff.eliminate_zeros()
+    rowptr = np.ascontiguousarray(Aoff.indptr, dtype=np.int64)
+    col = np.ascontiguousarray(Aoff.indices, dtype=np.int32)
+    val = np.ascontiguousarray(Aoff.data, dtype=np.float64)
     sweep = ctypes.c_double()
     fill = ctypes.c_double()
-    ndof = _SOR_LIB.pmg_ref_sor_bench(
-        n, nsweeps, kappa2, hinv2, omega,
-        ctypes.byref(sweep), ctypes.byref(fill),
+    ndof = L.pmg_ref_sor_bench_csr(
+        n, _ptr(rowptr, ctypes.c_int64), _ptr(col, ctypes.c_int32),
+        _ptr(val, ctypes.c_double), _ptr(diag, ctypes.c_double),
+        nsweeps, omega, ctypes.byref(sweep), ctypes.byref(fill),
     )
     return int(ndof), float(sweep.value), float(fill.value)
 

@@ -124,4 +124,51 @@ int64_t pmg_ref_sor_bench(int64_t n, int64_t nsweeps, double kappa2,
   return N;
 }
 
+// Same hot loop on a CALLER-PROVIDED CSR matrix in colour-blocked row
+// order (rows of one colour contiguous — the ordering GraphOperator
+// establishes at setup), anchoring the UNSTRUCTURED (mesh) benchmark in
+// a measurement.  Sweeping rows 0..N-1 in order IS the reference's
+// colour-by-colour multicolor SOR (mc_sor.c:251-295) in that ordering.
+//   rowptr/col/val: off-diagonal CSR (any nnz); diag: separate diagonal
+//   (the reference's diagptr split).
+int64_t pmg_ref_sor_bench_csr(int64_t N, const int64_t* rowptr,
+                              const int32_t* col, const double* val,
+                              const double* diag, int64_t nsweeps,
+                              double omega, double* sec_sweep,
+                              double* sec_fill) {
+  std::vector<double> idiag(N);
+  for (int64_t r = 0; r < N; ++r) idiag[r] = omega / diag[r];
+  std::vector<double> x(N, 0.0), b(N, 1.0);
+
+  std::mt19937_64 rng(12345);
+  const double t0f = now();
+  double sink = 0.0;
+  for (int64_t s = 0; s < nsweeps; ++s) {
+    const double inv = 1.0 / 18446744073709551616.0;  // 2^-64
+    for (int64_t r = 0; r + 1 < N; r += 2) {
+      const double u1 = (rng() * inv) + 1e-18;
+      const double u2 = rng() * inv;
+      const double rad = std::sqrt(-2.0 * std::log(u1));
+      b[r] = rad * std::cos(6.283185307179586 * u2);
+      b[r + 1] = rad * std::sin(6.283185307179586 * u2);
+    }
+  }
+  *sec_fill = (now() - t0f) / (double)nsweeps;
+  sink += b[N / 2];
+
+  const double t0 = now();
+  for (int64_t s = 0; s < nsweeps; ++s) {
+    for (int64_t r = 0; r < N; ++r) {
+      double acc = b[r];
+      for (int64_t jj = rowptr[r]; jj < rowptr[r + 1]; ++jj)
+        acc -= val[jj] * x[col[jj]];
+      x[r] = (1.0 - omega) * x[r] + idiag[r] * acc;
+    }
+  }
+  *sec_sweep = (now() - t0) / (double)nsweeps;
+
+  if (x[N / 2] + sink == -1.0e301) *sec_sweep = -1.0;
+  return N;
+}
+
 }  // extern "C"
