@@ -317,16 +317,39 @@ def make_sharded_mgmc_step(
     deterministic multigrid iteration (used by the exact sharded ==
     single-device parity tests; the on-chip PRNG cannot run in CPU
     interpret mode).
+
+    LRC (posterior) fine operators are supported: the level-0 kernel
+    runs UNCHANGED on the base stencil (the single-chip
+    ``_lrc_chain_step`` recipe distributed), with the rank-k products
+    as shard-local contractions + one ``psum`` each — B, Bb, RABb and
+    B_c ride as runtime ARGUMENTS sharded along grid axis 0 (never
+    closure constants; remote compile rejects big constants).  The
+    replicated tail below ``n_sh`` runs the sampler's own lax LRC
+    machinery.  Dense contractions only (the patch view's global
+    starts don't shard); fine for the multi-chip regime where the
+    rank-k work is 1/n_dev per shard.
     """
     assert sampler.n_pre == 1 and sampler.n_post == 0 and sampler.gamma == 1, (
         "sharded fused MGMC supports the V(1,0) flagship configuration"
     )
+    from parmgmc_tpu.operators.lrc import LRCOperator
+
+    is_lrc = isinstance(sampler.ops[0], LRCOperator)
+    if is_lrc:
+        assert sampler.lrc_aux is not None, (
+            "sharded LRC needs the rank-k aux matrices (compute_lrc_aux: "
+            "fused_fd level-0 smoother, forward/backward sweep)"
+        )
     n_dev = mesh.shape[axis_name]
     n_sh = 0
     while n_sh < sampler.n_levels - 1 and _level_shardable(
         sampler, n_sh, n_dev, min_local
     ):
         n_sh += 1
+    if is_lrc:
+        # only level 0 carries the rank-k correction machinery (as on a
+        # single chip); deeper levels run exact lax LRC in the tail
+        n_sh = min(n_sh, 1)
     if n_sh == 0:
         raise ValueError(
             f"fine level {sampler.ops[0].grid_shape} not shardable over "
@@ -375,11 +398,24 @@ def make_sharded_mgmc_step(
         return z
 
     spec = P(axis_name, None, None)
+    spec4 = P(axis_name, None, None, None)
     state_sharding = NamedSharding(mesh, spec)
+    ax3 = (0, 1, 2)
 
-    def _body(seeds, noises, x_loc, b_loc):
+    def _body(seeds, noises, lrc_in, x_loc, b_loc):
         dev = jax.lax.axis_index(axis_name)
         p0 = lvl[0]
+
+        if is_lrc:
+            # rank-k posterior terms: shard-local contractions + one
+            # psum each (the single-chip _lrc_chain_step distributed)
+            w, sig_inv, H, B_l, Bb_l, RABb_l, Bc_l = lrc_in
+            btx = jax.lax.psum(
+                jnp.tensordot(B_l, x_loc, axes=(ax3, ax3)), axis_name
+            )
+            b_loc = b_loc + jnp.tensordot(
+                B_l, w - sig_inv * btx, axes=((3,), (0,))
+            )
 
         # level 0: the CHAIN kernel fuses residual + noise + pre-smooth
         # + state add + restriction (single-chip parity — the separate
@@ -399,6 +435,23 @@ def make_sharded_mgmc_step(
             interpret,
             with_noise,
         )
+
+        if is_lrc:
+            # corrections to the kernel's restricted residual + the
+            # Woodbury state correction (deferred into the final add)
+            c = (
+                jax.lax.psum(
+                    jnp.tensordot(B_l, xpy, axes=(ax3, ax3)), axis_name
+                )
+                - btx
+            )
+            cc = w + sig_inv * (c - H @ c)
+            bl = (
+                bl
+                + jnp.tensordot(RABb_l, c, axes=((3,), (0,)))
+                - jnp.tensordot(Bc_l, cc, axes=((3,), (0,)))
+            )
+            xpy = xpy - jnp.tensordot(Bb_l, c, axes=((3,), (0,)))
 
         # down the remaining sharded levels (from-zero kernel)
         ys = []
@@ -436,17 +489,36 @@ def make_sharded_mgmc_step(
             fine_shape=lvl[0]["local_shape"]
         ).prolong(z)
 
+    if is_lrc:
+        op0 = sampler.ops[0]
+        s0 = sampler.smoothers[0]
+        Bb0 = s0.Bb_fw if s0.sweep == "forward" else s0.Bb_bw
+        # runtime ARGUMENTS, sharded along grid axis 0 (k trails)
+        lrc_consts = (
+            op0.sigma_inv,
+            sampler.lrc_aux["H"],
+            op0.B,
+            Bb0,
+            sampler.lrc_aux["RABb"],
+            sampler.ops[1].B,
+        )
+        k_lr = op0.k
+        lrc_specs = (P(), P(), P(), spec4, spec4, spec4, spec4)
+    else:
+        lrc_consts = None
+        lrc_specs = ()
+
     body_sh = jax.shard_map(
         _body,
         mesh=mesh,
-        in_specs=(P(), P(), spec, spec),
+        in_specs=(P(), P(), lrc_specs, spec, spec),
         out_specs=spec,
         check_vma=False,  # pallas_call out_shapes carry no vma
     )
 
     @jax.jit
-    def step(key, x, b):
-        key, ks, kn = jax.random.split(key, 3)
+    def _step(key, x, b, consts):
+        key, ks, kn, kw = jax.random.split(key, 4)
         seeds = jax.random.randint(
             ks, (n_sh, 2), 0, 2**31 - 1, dtype=jnp.int32
         )
@@ -458,6 +530,18 @@ def make_sharded_mgmc_step(
                 tail_shapes,
                 is_leaf=lambda s: isinstance(s, tuple),
             )
-        return key, body_sh(seeds, noises, x, b)
+        if is_lrc:
+            sig_inv, H, B, Bb, RABb, Bc = consts
+            if with_noise:
+                w = jnp.sqrt(sig_inv) * jax.random.normal(kw, (k_lr,), dtype)
+            else:
+                w = jnp.zeros((k_lr,), dtype)
+            lrc_in = (w, sig_inv, H, B, Bb, RABb, Bc)
+        else:
+            lrc_in = ()
+        return key, body_sh(seeds, noises, lrc_in, x, b)
+
+    def step(key, x, b):
+        return _step(key, x, b, lrc_consts)
 
     return step, state_sharding

@@ -94,3 +94,47 @@ def test_sharded_fused_mgmc_step_matches_single_device():
     ref = smp.step_with_noise(x, b, zeros)
     err = float(jnp.abs(ref - out).max() / jnp.abs(ref).max())
     assert err < 1e-5, err
+
+
+def test_sharded_fused_lrc_step_matches_single_device():
+    """Posterior (LRC) chain step under the sharded-fused machinery:
+    the level-0 kernel runs on the base stencil, the rank-k terms are
+    shard-local contractions + psum; deterministically this must equal
+    the single-device lax LRC cycle."""
+    from parmgmc_tpu.models.obs import make_observation_mats
+    from parmgmc_tpu.operators.lrc import LRCOperator
+    from parmgmc_tpu.parallel.fused import make_sharded_mgmc_step
+
+    base = shifted_laplace_fd(SHAPE, 1.0, dtype=jnp.float32)
+    B, sigma_inv, f = make_observation_mats(
+        SHAPE, 0.05, np.array([[0.3, 0.5, 0.4], [0.7, 0.4, 0.6]]),
+        np.full(2, 0.25), obsvals=np.ones(2), dtype=jnp.float32,
+    )
+    op = LRCOperator(base=base, B=B, sigma_inv=sigma_inv)
+    smp = MGMCSampler.create(
+        op, n_levels=3, n_pre=1, n_post=0,
+        coarsening="aggregate", impl="fused_fd",
+    )
+    assert smp.lrc_aux is not None
+
+    mesh = make_mesh((8,), axis_names=("x",))
+    step, sharding = make_sharded_mgmc_step(
+        smp, mesh, min_local=4, interpret=True, with_noise=False
+    )
+
+    key = jax.random.PRNGKey(8)
+    x = jax.random.normal(key, SHAPE, jnp.float32)
+    xs = jax.device_put(x, sharding)
+    fs = jax.device_put(f, sharding)
+    _, out = step(key, xs, fs)
+    assert len(out.sharding.device_set) == 8
+
+    zeros = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s, jnp.float32),
+        smp.noise_shapes(),
+        is_leaf=lambda s: isinstance(s, tuple),
+    )
+    ref = smp.step_with_noise(x, f, zeros)
+    err = float(jnp.abs(ref - out).max() / jnp.abs(ref).max())
+    # f32; the rank-k reductions sum in shard-then-psum order
+    assert err < 5e-5, err
