@@ -181,10 +181,11 @@ def main(posterior: bool = False):
     # decay 8x per level ~0.25) -> achieved GB/s vs the measured
     # ~360 GB/s effective copy bandwidth of this chip (CLAUDE.md).
     if posterior:
-        # non-deferred chain (materialised x, prolong-add, mean QOI
-        # re-read ~3.6) + dense rank-k streams (B^T x, b_eff build,
-        # B^T xpy, Bb apply = 4k+2 at k=5) + kernel b stream
-        passes = 3.0 + 1.0 + 1.1 + 0.25 + 3.6 + 22.0
+        # deferred chain + kernel b_eff stream (1) + b_eff build
+        # (write + b read, 2) + Woodbury Bb apply (k dense passes +
+        # read/write of xpy, k+2 = 7 at k=5); the B^T products ride
+        # the sparse patch view (~free)
+        passes = 3.0 + 1.1 + 0.25 + 1.0 + 2.0 + 7.0
     else:
         passes = 3.0 + (0.0 if b is None else 1.0) + 1.1 + 0.25
     n_pts = N**3
@@ -466,6 +467,24 @@ def selftest_lrc():
         tag = "b=f" if b is not None else "b=None"
         print(f"LRC chain algebra vs oracle ({tag}): rel {rel:.2e} (gate 1e-3)")
         assert rel < 1e-3, (tag, rel)
+
+    # deferred-prolong LRC chain: must reproduce the materialising LRC
+    # chain (same kernels, same keys; fp-order differences only)
+    from parmgmc_tpu.chain import sample_chain, sample_chain_deferred
+
+    assert smp.deferred_eligible(), "deferred LRC path not engaged"
+    st0 = ChainState(x=jnp.zeros(GRID, jnp.float32), key=jax.random.PRNGKey(5))
+    sta, qa = jax.jit(
+        lambda s_, t, bb: sample_chain(s_, t, bb, 8, extract=jnp.mean)
+    )(smp, st0, f)
+    stb, qb = jax.jit(lambda s_, t, bb: sample_chain_deferred(s_, t, bb, 8))(
+        smp, st0, f
+    )
+    rels = float(jnp.abs(sta.x - stb.x).max() / jnp.abs(sta.x).max())
+    relq = float(jnp.abs(qa - qb).max() / jnp.abs(qa).max())
+    print(f"deferred LRC chain vs standard: state rel {rels:.2e}, "
+          f"QOI rel {relq:.2e} (gates 1e-3)")
+    assert rels < 1e-3 and relq < 1e-3, (rels, relq)
 
     def mgmc_moments(impl, n=20_000):
         m = MGMCSampler.create(

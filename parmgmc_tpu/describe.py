@@ -94,7 +94,19 @@ def describe(sampler, _indent: int = 0) -> str:
         lines.append(
             f"{pad}PatchGibbsSampler on {_op_line(sampler.base)}: "
             f"{k}-node star patches, {sampler.ncolor_base ** d} colours, "
-            f"on-the-fly unrolled {k}x{k} Cholesky (SoA)"
+            f"on-the-fly unrolled {k}x{k} Cholesky (SoA), "
+            f"impl={getattr(sampler, 'impl', 'lax')}"
+        )
+    elif t == "SparseCholeskySampler":
+        nnzL = sampler._lu.L.nnz
+        lines.append(
+            f"{pad}SparseCholeskySampler: host-side sparse LDL^T, "
+            f"n={_fmt_n(sampler.n)}, nnz(L)={_fmt_n(nnzL)}"
+            + (
+                f", Matheron posterior (k={len(sampler._lrc['sigma'])})"
+                if sampler._lrc is not None
+                else ""
+            )
         )
     elif t == "GraphPatchGibbsSampler":
         lines.append(

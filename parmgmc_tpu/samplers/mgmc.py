@@ -155,7 +155,9 @@ def compute_lrc_aux(ops, transfers, smoothers):
     RABb = jnp.moveaxis(jax.vmap(transfers[0].restrict)(ABb), 0, ndim)
     axes = tuple(range(ndim))
     H = jnp.tensordot(ops[0].B, Bb, axes=(axes, axes))
-    return {"RABb": RABb, "H": H}
+    # column sums of Bb: the deferred chain recovers the Woodbury
+    # correction's contribution to each sample's global sum from these
+    return {"RABb": RABb, "H": H, "Bb_colsum": jnp.sum(Bb, axis=axes)}
 
 
 @pytree_dataclass(meta=("n_pre", "n_post", "n_levels", "n_coarse", "gamma"))
@@ -657,17 +659,48 @@ class MGMCSampler:
         next step's kernel?  Requires a chain-kernel path at level 0
         (3D, fused FD, aggregation transfer, N0 % 4): the whole-plane
         kernel within its VMEM window, or the 2D-tiled one beyond it
-        (both consume a lazy coarse correction — zx2 and zf layouts)."""
+        (both consume a lazy coarse correction — zx2 and zf layouts).
+        LRC (posterior) operators qualify through the rank-k machinery
+        of :meth:`_lrc_chain_step` (needs lrc_aux)."""
         from parmgmc_tpu.kernels.rb_gibbs import _PLANE_LIMIT
 
         gs = self.grid_shape
-        if (
-            len(gs) != 3
-            or not self._down_fused_eligible(0)
-            or gs[0] % 4
+        if len(gs) != 3 or gs[0] % 4:
+            return False
+        if not (
+            self._lrc_chain_eligible()
+            if getattr(self.smoothers[0] if self.smoothers else None, "is_lrc", False)
+            else self._down_fused_eligible(0)
         ):
             return False
         return gs[1] * gs[2] <= _PLANE_LIMIT or self._chain_level0_2d()
+
+    def _bt_carry(self, z):
+        """B^T (P0 z) for a lazy carry in :meth:`deferred_layout` form:
+        equals B_c^T z_coarse with B_c = ops[1].B (= P^T B, the
+        hierarchy invariant).  Patch columns read tiny strided windows
+        of the carry directly; dense columns compress the carry once."""
+        opc = self.ops[1]
+        layout = self.deferred_layout()
+        if opc.patch_vals is not None:
+            box = opc.patch_vals.shape[1:]
+            outs = []
+            for j in range(opc.k):
+                st = opc.patch_starts[j]
+                if layout == "zx2":  # (n0/2, n1/2, n2), lanes duplicated
+                    win = jax.lax.dynamic_slice(
+                        z, (st[0], st[1], 2 * st[2]),
+                        (box[0], box[1], 2 * box[2]),
+                    )[..., ::2]
+                else:  # zf: (n0/2, n1, n2), in-plane at fine pitch
+                    win = jax.lax.dynamic_slice(
+                        z, (st[0], 2 * st[1], 2 * st[2]),
+                        (box[0], 2 * box[1], 2 * box[2]),
+                    )[:, ::2, ::2]
+                outs.append(jnp.sum(opc.patch_vals[j] * win))
+            return jnp.stack(outs)
+        zc = z[..., ::2] if layout == "zx2" else z[:, ::2, ::2]
+        return opc.bt_apply(zc)
 
     def deferred_layout(self) -> str:
         """Layout of the lazy coarse-correction carry: ``"zx2"`` (lanes
@@ -710,9 +743,39 @@ class MGMCSampler:
         materialise the final state with :meth:`materialize_deferred`.
         """
         key, sub = jax.random.split(key)
-        xpy2, rc, sub, xsum, zsum = self._fused_chain_down(
-            xpy, b, sub, z=zx2, with_xsum=True, with_zsum=True
-        )
+        if self._lrc_chain_eligible():
+            # posterior (LRC): the rank-k recipe of _lrc_chain_step with
+            # B^T x assembled from the lazy pair (xpy, carry) and the
+            # Woodbury correction folded into xpy2 + the xsum bookkeeping
+            op0 = self.fine_op
+            s = self.smoothers[0]
+            sub, klr = jax.random.split(sub)
+            w = s.sqrt_sigma_inv * jax.random.normal(
+                klr, (op0.k,), xpy.dtype
+            )
+            btx = op0.bt_apply(xpy) + self._bt_carry(zx2)
+            wv = w - op0.sigma_inv * btx
+            b_eff = op0.b_apply(wv) if b is None else op0.b_apply_add(wv, b)
+            xpy2, rc, sub, xsum, zsum = self._fused_chain_down(
+                xpy, b_eff, sub, z=zx2, with_xsum=True, with_zsum=True
+            )
+            c = op0.bt_apply(xpy2) - btx
+            Bb = s.Bb_fw if s.sweep == "forward" else s.Bb_bw
+            H = self.lrc_aux["H"]
+            cc = w + op0.sigma_inv * (c - H @ c)
+            rc = self.ops[1].b_apply_add(
+                -cc,
+                rc + jnp.tensordot(
+                    self.lrc_aux["RABb"], c, axes=((3,), (0,))
+                ),
+            )
+            xpy2 = xpy2 - jnp.tensordot(Bb, c, axes=((3,), (0,)))
+            sx = jnp.sum(xsum) - self.lrc_aux["Bb_colsum"] @ c
+        else:
+            xpy2, rc, sub, xsum, zsum = self._fused_chain_down(
+                xpy, b, sub, z=zx2, with_xsum=True, with_zsum=True
+            )
+            sx = jnp.sum(xsum)
         n0, n1, n2 = self.grid_shape
         sub, sub2 = jax.random.split(sub)
         layout = self.deferred_layout()
@@ -746,7 +809,7 @@ class MGMCSampler:
             zn = expand(y1) + expand(self.transfers[1].prolong(z2))
         else:
             zn = expand(self._cycle_keyed(1, rc, sub2))
-        return key, xpy2, zn, jnp.sum(xsum), zw * jnp.sum(zsum)
+        return key, xpy2, zn, sx, zw * jnp.sum(zsum)
 
     def deferred_init(self, dtype):
         """Zero lazy carry in this sampler's :meth:`deferred_layout`."""

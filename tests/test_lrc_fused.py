@@ -105,17 +105,31 @@ def test_gibbs_fused_lrc_algebra(monkeypatch, sweep):
 def _fake_chain_down(self, x, b, key, z=None, with_xsum=False, with_zsum=False):
     """lax stand-in for the fused chain-down kernel with the SAME
     contract: xpy = x + (one stochastic pre-sweep of r = b - A x from
-    zero), rc = restrict(r - A y).  Uses threefry noise keyed off the
-    same key the kernel path would consume, so the oracle and the
+    zero), rc = restrict(r - A y); a lazy carry ``z`` (zx2 layout) is
+    expanded and folded into the state first, and the optional
+    xsum/zsum outputs mirror the kernel's sum semantics (scalars here —
+    the callers only ever jnp.sum them).  Uses threefry noise keyed off
+    the same key the kernel path would consume, so the oracle and the
     routed step see identical draws."""
     s = self.smoothers[0]
+    if z is not None:
+        n0, n1, n2 = self.grid_shape
+        zfull = jnp.broadcast_to(
+            z[:, None, :, None, :], (n0 // 2, 2, n1 // 2, 2, n2)
+        ).reshape(n0, n1, n2)
+        x = x + zfull
     key, sub = jax.random.split(key)
     eta = jax.random.normal(sub, x.shape, x.dtype)
     bz = -s.base.apply(x) if b is None else b - s.base.apply(x)
     btilde = bz + s.noise_scale * eta
     y = sor_sweep(s.base, btilde, jnp.zeros_like(x), s.omega, s.sweep)
     rc = self.transfers[0].restrict(bz - s.base.apply(y))
-    return x + y, rc, key
+    out = [x + y, rc, key]
+    if with_xsum:
+        out.append(jnp.sum(x + y))
+    if with_zsum:
+        out.append(jnp.sum(z) if z is not None else jnp.zeros((), x.dtype))
+    return tuple(out)
 
 
 def test_mgmc_lrc_chain_algebra(monkeypatch):
@@ -162,6 +176,37 @@ def test_mgmc_lrc_chain_algebra(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=3e-4,
             err_msg=f"b={'f' if b is not None else 'None'}",
+        )
+
+
+def test_mgmc_lrc_deferred_matches_step(monkeypatch):
+    """The deferred-prolong LRC chain must reproduce the materialising
+    LRC chain: same samples (to fp order) and the same mean-QOI stream
+    assembled from the kernel sums + Woodbury colsum correction."""
+    monkeypatch.setattr(MGMCSampler, "_fused_chain_down", _fake_chain_down)
+
+    op, f = make_posterior()
+    smp = MGMCSampler.create(
+        op, n_pre=1, n_post=0, coarsest_size=128,
+        coarsening="aggregate", impl="fused_fd",
+    )
+    assert smp.deferred_eligible()
+    assert smp.deferred_layout() == "zx2"
+
+    from parmgmc_tpu.chain import ChainState, sample_chain, sample_chain_deferred
+
+    st = ChainState(x=jnp.zeros(GRID, jnp.float32), key=jax.random.PRNGKey(4))
+    for b in (f, None):
+        sta, qa = sample_chain(smp, st, b, 6, extract=jnp.mean)
+        stb, qb = sample_chain_deferred(smp, st, b, 6)
+        scale = float(jnp.abs(sta.x).max())
+        np.testing.assert_allclose(
+            np.asarray(stb.x), np.asarray(sta.x), atol=3e-4 * scale,
+            err_msg="deferred LRC state diverged",
+        )
+        np.testing.assert_allclose(
+            np.asarray(qb), np.asarray(qa), atol=1e-6 + 3e-4 * float(jnp.abs(qa).max()),
+            err_msg="deferred LRC QOI stream diverged",
         )
 
 
