@@ -358,17 +358,22 @@ class MGMCSampler:
         return y, rc, key
 
     def _chain_level0_2d(self) -> bool:
-        """Should level 0's chain kernel run the 2D-TILED variant?  ONLY
-        past the whole-plane VMEM window.  Routing 512^3 (whole-plane
-        T=4) through the 2D tiles was measured and REJECTED: the
-        whole-plane kernel's block pipeline fetches every HBM byte once
-        (window amplification is VPU-side only), while the 2D windows
-        re-fetch halo bytes from HBM (DMA amp 1.69x) — chain 11.57 ->
-        12.89 ms, and the zf production broadcast costs 2.3 ms vs zx2's
-        0.65 (BENCH_NOTES "512^3 per-stage breakdown", 2026-08-18).
-        step and step_deferred must agree on this routing (the two
-        kernels key their on-chip noise differently), so it depends only
-        on the grid shape."""
+        """Should level 0's chain kernel run the 2D-TILED variant?
+        Past ``_CHAIN_2D_MIN`` points/plane.  Routing 512^3
+        (whole-plane T=4) through the 2D tiles was measured and
+        REJECTED: the whole-plane kernel's block pipeline fetches every
+        HBM byte once (window amplification is VPU-side only), while
+        the 2D windows re-fetch halo bytes from HBM (DMA amp 1.69x) —
+        chain 11.57 -> 12.89 ms (BENCH_NOTES "512^3 per-stage
+        breakdown", 2026-08-18).  An early-crossover variant (route
+        2D from 384K points/plane, motivated by the whole-plane
+        auto-tile collapsing to T=2 at 640^2) was ALSO measured and
+        REJECTED 2026-08-20: the staged KERNEL alone is faster at
+        640^3 (22.5 vs ~25 ms) but the full cycle is slower (34.4 vs
+        30.2 ms — the 2D carry/glue passes eat the win).  step and
+        step_deferred must agree on this routing (the two kernels key
+        their on-chip noise differently), so it depends only on the
+        grid shape."""
         from parmgmc_tpu.kernels.mg_sweep import chain_down_2d_supported
         from parmgmc_tpu.kernels.rb_gibbs import _PLANE_LIMIT
 
