@@ -252,7 +252,14 @@ class SparseCholeskySampler:
         return np.moveaxis(x0, -1, 0).reshape(n_samples, *self.grid_shape)
 
     def prepare(self, b):
-        return None
+        """Cache the (expensive) posterior mean for a fixed chain RHS —
+        b is constant along a chain, so the sparse solve pair (plus the
+        Woodbury solve for LRC) runs once, not per step."""
+        import numpy as np
+
+        if b is None:
+            return np.zeros(self.grid_shape)
+        return np.asarray(self.mean(b))
 
     def step(self, key, x, b, aux=None):
         """Chain-driver-compatible wrapper (EAGER host execution only —
@@ -263,7 +270,9 @@ class SparseCholeskySampler:
         del x
         key, sub = jax.random.split(key)
         seed = int(np.asarray(jax.random.key_data(sub)).ravel()[-1])
-        out = self.sample(seed, 1, b=b)[0]
+        out = self.sample(seed, 1, b=None)[0]
+        mu = aux if aux is not None else self.prepare(b)
+        out = out + np.asarray(mu, dtype=out.dtype)
         return key, jnp.asarray(out, dtype=self.dtype)
 
 

@@ -187,6 +187,9 @@ class PatchGibbsSampler:
     def step_with_noise(self, x, b, noises):
         """One full coloured patch sweep (every node's patch resampled).
 
+        ``b=None`` means a zero RHS (prior sampling) — the repo-wide
+        convention every sampler honors.
+
         Single-trace colour loop: the grid is zero-padded so every
         colour's centre subgrid has the SAME static shape (ceil(N/m)
         points per axis) and the colour's per-axis residues are decoded
@@ -214,6 +217,8 @@ class PatchGibbsSampler:
         The patch systems are factored on the fly with an unrolled
         elementwise Cholesky (see module docstring).
         """
+        if b is None:  # zero-RHS (prior) convention
+            b = jnp.zeros_like(x)
         eta = noises[0]["eta"]  # (k, *grid)
         shape = self.grid_shape
         d = len(shape)
@@ -434,6 +439,8 @@ class PatchGibbsSampler:
         return None
 
     def step(self, key, x, b, aux=None):
+        if b is None:  # zero-RHS (prior) convention
+            b = jnp.zeros_like(x)
         if self.impl == "fused" and self.sq_fd_params is not None:
             from parmgmc_tpu.kernels.patch_sweep import fused_patch_sweep_sqfd
 
@@ -541,6 +548,8 @@ class GraphPatchGibbsSampler:
         return [{"eta": (self.kmax, self.base.n)}]
 
     def step_with_noise(self, x, b, noises):
+        if b is None:  # zero-RHS (prior) convention
+            b = jnp.zeros_like(x)
         base = self.base
         n = base.n
         k = self.kmax
