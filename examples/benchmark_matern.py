@@ -64,7 +64,9 @@ def main():
     ap.add_argument("--preset", default=None,
                     help="JSON preset (examples/benchmark/*.json), the "
                     "analogue of the reference's .opts files")
-    ap.add_argument("--mesh", default="/root/reference/data/wrench.msh")
+    ap.add_argument("--mesh", default=None,
+                    help="mesh asset name or path (models.mesh.mesh_path: "
+                    "repo data/ first, reference mount as fallback)")
     ap.add_argument("--refine", type=int, default=0)
     ap.add_argument("--kappa", type=float, default=5.0)
     ap.add_argument("--burnin", type=int, default=1000)
@@ -89,10 +91,13 @@ def main():
     args = ap.parse_args()
 
     preset = {}
+    if not args.preset and args.mesh is None:
+        args.mesh = "wrench"
     if args.preset:
         with open(args.preset) as f:
             preset = json.load(f)
-        args.mesh = preset.get("mesh", args.mesh)
+        if args.mesh is None:  # explicit --mesh wins over the preset
+            args.mesh = preset.get("mesh")
         args.kappa = float(preset.get("kappa", args.kappa))
         args.sigma2 = float(preset.get("sigma2", args.sigma2))
         if preset.get("posterior"):

@@ -24,7 +24,7 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--mesh", default="/root/reference/data/wrench.msh")
+    p.add_argument("--mesh", default="wrench")
     p.add_argument("--refine", type=int, default=4)
     p.add_argument("--samples", type=int, default=64)
     p.add_argument("--kappa", type=float, default=1.0)
@@ -52,7 +52,9 @@ def main():
     from parmgmc_tpu.operators.lrc import LRCOperator
     from parmgmc_tpu.samplers.cholesky import SparseCholeskySampler
 
-    pts, cells = read_gmsh(args.mesh)
+    from parmgmc_tpu.models.mesh import mesh_path
+
+    pts, cells = read_gmsh(mesh_path(args.mesh))
     for _ in range(args.refine):
         pts, cells = refine(pts, cells)
     t0 = time.perf_counter()

@@ -4,7 +4,7 @@ Reference: /root/reference/examples/ex2.c — MS end-to-end with a
 normalized domain-integral QOI, IACT print, mean ~ 0 check and VTK
 output of samples/mean/var.
 
-    python examples/ex2_matern_iact.py [--mesh /root/reference/data/wrench.msh]
+    python examples/ex2_matern_iact.py [--mesh wrench]
 """
 
 import argparse

@@ -32,3 +32,13 @@ def pytree_dataclass(cls=None, *, meta: tuple = ()):
         return c
 
     return wrap(cls) if cls is not None else wrap
+
+
+def bcast_trailing(v, x):
+    """Broadcast a per-grid array ``v`` against ``x`` = grid + trailing
+    chain dims: appends singleton axes so ``v`` aligns with x's LEADING
+    dims.  Identity when shapes already agree — the universal helper for
+    the chain-major multichain layout (x of shape grid_shape + (C,))."""
+    if getattr(x, "ndim", 0) > v.ndim:
+        return v.reshape(v.shape + (1,) * (x.ndim - v.ndim))
+    return v

@@ -34,9 +34,21 @@ class ChainState(NamedTuple):
     key: jax.Array
 
 
-def init_chain(sampler, key: jax.Array, x0: Optional[jax.Array] = None) -> ChainState:
+def init_chain(
+    sampler,
+    key: jax.Array,
+    x0: Optional[jax.Array] = None,
+    batch: tuple = (),
+) -> ChainState:
+    """Fresh chain state.  ``batch`` appends trailing chain dims for the
+    chain-major multichain layout (x of shape grid_shape + (C,)): C
+    independent chains advanced by ONE keyed step each iteration —
+    the preferred layout for unstructured (GraphOperator) samplers,
+    whose gathers amortize the index stream over the chain axis."""
     if x0 is None:
-        x0 = jnp.zeros(sampler.grid_shape, dtype=sampler.dtype)
+        x0 = jnp.zeros(
+            tuple(sampler.grid_shape) + tuple(batch), dtype=sampler.dtype
+        )
     return ChainState(x=x0, key=key)
 
 

@@ -145,7 +145,7 @@ def aggregation_hierarchy(
             break
         coarse_graph = from_csr(Ac, dtype=dtype)
         # P's rows are already in the fine level's internal ordering
-        # (A itself came from to_csr of the colour-blocked operator); only
+        # (A is kept in the CURRENT level's internal ordering below); only
         # the column side needs the coarse level's internal permutation.
         pc = np.asarray(coarse_graph.perm)
         P_int = sp.csr_matrix(P[:, pc])
@@ -162,5 +162,11 @@ def aggregation_hierarchy(
             )
         else:
             ops.append(coarse_graph)
-        A = Ac
+        # Continue in the COARSE level's internal (colour-blocked)
+        # ordering: coarse_graph works in Ac[pc][:,pc] coordinates, so
+        # the next level's P rows must be built there too.  (Keeping the
+        # unpermuted Ac here silently broke Galerkin exactness — and the
+        # MGMC invariance oracle — for every hierarchy with >= 3 levels;
+        # caught by the round-4 multichain A/B, 2026-08-20.)
+        A = sp.csr_matrix(Ac[pc][:, pc])
     return ops, tuple(transfers)

@@ -3,7 +3,8 @@
 TPU-native replacement for the reference's ``MATAIJ`` CSR operators on
 unstructured (DMPlex/Gmsh) meshes.  CSR row loops serialize on TPU, so
 rows are stored in fixed-width ELL form — ``vals (n, w)``,
-``cols (n, w)`` — and a matvec is ONE batched gather + a row reduction.
+``cols (n, w)`` — and a matvec is a batch of row gathers + a row
+reduction.
 
 For multicolour Gauss-Seidel/Gibbs sweeps the unknowns are permuted at
 setup so that colours are contiguous row blocks (the analogue of the
@@ -11,6 +12,22 @@ reference's per-colour index sets, mc_sor.c:251-295): one colour
 sub-sweep is a gather over a static row slice + a dynamic-update-slice,
 with no masks and no scatter.  The greedy distance-1 colouring plays the
 role of PETSc's MATCOLORINGJP (mc_sor.c:383-395).
+
+Two TPU-specific layout decisions (round 4, measured on a v5e —
+``examples/probe_mesh_multichain.py``):
+
+* **Trailing chain axis.**  Every linear-algebra entry point accepts
+  ``x`` of shape ``(n,)`` or ``(n, C)`` — C vmapped-style independent
+  chains stored chain-major.  A gather of ELL neighbours then moves
+  contiguous C-wide rows instead of scalars, which runs ~2.6x faster
+  than the batch-leading ``vmap`` layout (335 vs 128 GB/s effective).
+* **Degree-sorted colour blocks + per-k prefix gathers.**  Rows within
+  a colour are sorted by descending off-diagonal degree at setup, and
+  the static per-colour prefix counts (``color_counts``) let column k
+  of the ELL array gather only the rows that actually HAVE a k-th
+  neighbour.  Bytes moved per sweep drop from ``n*w_max*C`` to
+  ``~nnz*C`` (3.2x on the wrench mesh, whose max degree is 41 against
+  a mean of 12.7).  Combined: 2.71 ms vs 11.8 ms per 256-chain sweep.
 
 The operator presents the same protocol as StencilOperator with
 ``grid_shape == (n,)`` — every sampler (Gibbs, Cholesky, MGMC, LRC,
@@ -23,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from parmgmc_tpu._pytree import bcast_trailing as _bc
 from parmgmc_tpu._pytree import pytree_dataclass
 
 __all__ = ["GraphOperator", "greedy_coloring", "from_csr"]
@@ -50,9 +68,9 @@ def greedy_coloring(indptr, indices, n) -> np.ndarray:
     return colors
 
 
-@pytree_dataclass(meta=("color_starts",))
+@pytree_dataclass(meta=("color_starts", "color_counts"))
 class GraphOperator:
-    """Symmetric sparse operator in colour-blocked ELL form."""
+    """Symmetric sparse operator in colour-blocked, degree-sorted ELL form."""
 
     vals: jax.Array  # (n, w) off-diagonal values (0-padded)
     cols: jax.Array  # (n, w) int32 column ids (self-padded)
@@ -60,6 +78,12 @@ class GraphOperator:
     perm: jax.Array  # (n,) original -> internal ordering: internal[i] = orig[perm[i]]
     iperm: jax.Array  # (n,) inverse permutation
     color_starts: tuple  # static row offsets of the colour blocks (len ncolors+1)
+    # static per-colour prefix counts: color_counts[c][k] = number of rows
+    # of colour c with degree > k, rounded up to a multiple of 8 (sublane
+    # alignment; the padded rows carry zero vals so the extra work is a
+    # no-op).  Empty tuple = no degree sorting (legacy construction) —
+    # the dense-width fallback paths are used.
+    color_counts: tuple = ()
 
     @property
     def grid_shape(self):
@@ -81,12 +105,39 @@ class GraphOperator:
     def ncolors(self) -> int:
         return len(self.color_starts) - 1
 
+    # Per-k prefix gathers pay on LARGE levels (bytes ~ nnz*C instead of
+    # n*w_max*C); on small coarse levels they explode the op count (a
+    # 1.9k-row level with w=153 would emit ~90 tiny gathers per colour,
+    # stalling XLA compiles) while the flat gather is already cheap.
+    _PREFIX_MIN_ROWS = 8192
+
+    def _use_prefix(self) -> bool:
+        return bool(self.color_counts) and self.n >= self._PREFIX_MIN_ROWS
+
     # -- linear algebra ------------------------------------------------------
     def offdiag_apply(self, x: jax.Array) -> jax.Array:
-        return jnp.sum(self.vals * x[self.cols], axis=1)
+        """Off-diagonal matvec; x may carry trailing chain dims (n, C)."""
+        if not self._use_prefix():
+            g = x[self.cols]  # (n, w[, C])
+            return jnp.sum(_bc(self.vals, g) * g, axis=1)
+        outs = []
+        for c in range(self.ncolors):
+            s, e = self.color_starts[c], self.color_starts[c + 1]
+            if s == e:
+                continue
+            acc = jnp.zeros((e - s,) + x.shape[1:], x.dtype)
+            for k, cnt in enumerate(self.color_counts[c]):
+                if cnt == 0:
+                    break
+                contrib = _bc(self.vals[s : s + cnt, k], x) * x[
+                    self.cols[s : s + cnt, k]
+                ]
+                acc = acc.at[:cnt].add(contrib) if cnt < e - s else acc + contrib
+            outs.append(acc)
+        return jnp.concatenate(outs, axis=0)
 
     def apply(self, x: jax.Array) -> jax.Array:
-        return self.diag * x + self.offdiag_apply(x)
+        return _bc(self.diag, x) * x + self.offdiag_apply(x)
 
     def to_dense(self) -> jax.Array:
         n = self.n
@@ -97,10 +148,15 @@ class GraphOperator:
 
     # -- multicolour SOR sweep -------------------------------------------------
     def sor_sweep(self, b, x, omega, sweep: str = "forward"):
-        """One multicolour SOR sweep; colours are contiguous row blocks."""
+        """One multicolour SOR sweep; colours are contiguous row blocks.
+
+        ``x`` (and ``b``) may carry trailing chain dims — ``(n, C)``
+        updates C independent chains in one pass (chain-major layout;
+        the gathers amortize the index stream over the chain axis)."""
         if sweep == "symmetric":
             x = self.sor_sweep(b, x, omega, "forward")
             return self.sor_sweep(b, x, omega, "backward")
+        b = jnp.broadcast_to(_bc(b, x), x.shape)
         order = range(self.ncolors)
         if sweep == "backward":
             order = reversed(list(order))
@@ -108,13 +164,26 @@ class GraphOperator:
             s, e = self.color_starts[c], self.color_starts[c + 1]
             if s == e:
                 continue
-            vals = self.vals[s:e]
-            cols = self.cols[s:e]
-            sums = jnp.sum(vals * x[cols], axis=1)
-            upd = (1.0 - omega) * x[s:e] + (omega / self.diag[s:e]) * (
-                b[s:e] - sums
+            acc = b[s:e]
+            if self._use_prefix():
+                for k, cnt in enumerate(self.color_counts[c]):
+                    if cnt == 0:
+                        break
+                    contrib = _bc(self.vals[s : s + cnt, k], x) * x[
+                        self.cols[s : s + cnt, k]
+                    ]
+                    acc = (
+                        acc.at[:cnt].add(-contrib)
+                        if cnt < e - s
+                        else acc - contrib
+                    )
+            else:
+                g = x[self.cols[s:e]]
+                acc = acc - jnp.sum(_bc(self.vals[s:e], g) * g, axis=1)
+            upd = (1.0 - omega) * x[s:e] + _bc(omega / self.diag[s:e], x) * acc
+            x = jax.lax.dynamic_update_slice(
+                x, upd, (s,) + (0,) * (x.ndim - 1)
             )
-            x = jax.lax.dynamic_update_slice(x, upd, (s,))
         return x
 
     def to_csr(self):
@@ -145,7 +214,7 @@ class GraphOperator:
 
 
 def from_csr(A_csr, dtype=jnp.float64) -> GraphOperator:
-    """Build a colour-blocked GraphOperator from a scipy CSR matrix."""
+    """Build a colour-blocked, degree-sorted GraphOperator from scipy CSR."""
     import scipy.sparse as sp
 
     A = sp.csr_matrix(A_csr)
@@ -153,11 +222,41 @@ def from_csr(A_csr, dtype=jnp.float64) -> GraphOperator:
     colors = greedy_coloring(A.indptr, A.indices, n)
     ncolors = int(colors.max()) + 1
     perm = np.argsort(colors, kind="stable").astype(np.int32)
-    iperm = np.empty(n, dtype=np.int32)
-    iperm[perm] = np.arange(n, dtype=np.int32)
 
     counts = np.bincount(colors, minlength=ncolors)
     starts = np.concatenate([[0], np.cumsum(counts)]).astype(int)
+
+    # Off-diagonal degree per ORIGINAL node (permutation-invariant).
+    Ad = A - sp.diags(A.diagonal())
+    Ad.eliminate_zeros()
+    Ad = Ad.tocsr()
+    deg = np.diff(Ad.indptr)
+
+    # Within each colour, sort rows by descending degree (stable) so the
+    # per-k prefix property holds: the rows with a k-th neighbour are
+    # exactly the first color_counts[c][k] rows of the block.
+    order = np.concatenate(
+        [
+            starts[c]
+            + np.argsort(-deg[perm[starts[c] : starts[c + 1]]], kind="stable")
+            for c in range(ncolors)
+        ]
+    ).astype(np.int32)
+    perm = perm[order]
+    iperm = np.empty(n, dtype=np.int32)
+    iperm[perm] = np.arange(n, dtype=np.int32)
+
+    color_counts = []
+    for c in range(ncolors):
+        s, e = starts[c], starts[c + 1]
+        dc = np.sort(deg[perm[s:e]])[::-1] if e > s else np.zeros(0, int)
+        wc = int(dc[0]) if e > s and dc.size else 0
+        color_counts.append(
+            tuple(
+                int(min(e - s, -(-int((dc > k).sum()) // 8) * 8))
+                for k in range(wc)
+            )
+        )
 
     # Symmetric permutation PAP^T in internal ordering.
     Ap = A[perm][:, perm].tocsr()
@@ -187,4 +286,5 @@ def from_csr(A_csr, dtype=jnp.float64) -> GraphOperator:
         perm=jnp.asarray(perm),
         iperm=jnp.asarray(iperm),
         color_starts=tuple(int(s) for s in starts),
+        color_counts=tuple(color_counts),
     )

@@ -17,6 +17,7 @@ from typing import Union
 import jax
 import jax.numpy as jnp
 
+from parmgmc_tpu._pytree import bcast_trailing as _bc
 from parmgmc_tpu._pytree import pytree_dataclass
 from parmgmc_tpu.operators.stencil import StencilOperator
 
@@ -67,29 +68,27 @@ class LRCOperator:
         return self.base.dtype
 
     def bt_apply(self, x: jax.Array) -> jax.Array:
-        """(k,) = B^T x for grid-shaped x."""
+        """(k,[C]) = B^T x for grid-shaped x (+ trailing chain dims)."""
+        gaxes = tuple(range(self.ndim))
         if self.patch_vals is not None:
             box = self.patch_vals.shape[1:]
+            batch = x.shape[self.ndim :]
             outs = []
             for j in range(self.k):  # k is small and static
-                win = jax.lax.dynamic_slice(x, tuple(self.patch_starts[j]), box)
-                outs.append(jnp.sum(self.patch_vals[j] * win))
+                st = tuple(self.patch_starts[j]) + (0,) * len(batch)
+                win = jax.lax.dynamic_slice(x, st, box + batch)
+                outs.append(
+                    jnp.sum(_bc(self.patch_vals[j], win) * win, axis=gaxes)
+                )
             return jnp.stack(outs)
-        axes = tuple(range(self.ndim))
-        return jnp.tensordot(self.B, x, axes=(axes, axes))
+        return jnp.tensordot(self.B, x, axes=(gaxes, gaxes))
 
     def b_apply(self, w: jax.Array) -> jax.Array:
-        """grid-shaped = B w for (k,) w."""
+        """grid-shaped (+ trailing chain dims) = B w for (k,[C]) w."""
         if self.patch_vals is not None:
-            box = self.patch_vals.shape[1:]
-            out = jnp.zeros(self.grid_shape, self.B.dtype)
-            for j in range(self.k):  # sequential adds: balls may overlap
-                st = tuple(self.patch_starts[j])
-                win = jax.lax.dynamic_slice(out, st, box)
-                out = jax.lax.dynamic_update_slice(
-                    out, win + w[j] * self.patch_vals[j], st
-                )
-            return out
+            batch = w.shape[1:]
+            out = jnp.zeros(self.grid_shape + batch, self.B.dtype)
+            return self.b_apply_add(w, out)
         return jnp.tensordot(self.B, w, axes=((self.ndim,), (0,)))
 
     def b_apply_add(self, w: jax.Array, y: jax.Array) -> jax.Array:
@@ -99,17 +98,19 @@ class LRCOperator:
         if self.patch_vals is None:
             return y + self.b_apply(w)
         box = self.patch_vals.shape[1:]
+        batch = y.shape[self.ndim :]
         out = y
-        for j in range(self.k):
-            st = tuple(self.patch_starts[j])
-            win = jax.lax.dynamic_slice(out, st, box)
+        for j in range(self.k):  # sequential adds: balls may overlap
+            st = tuple(self.patch_starts[j]) + (0,) * len(batch)
+            win = jax.lax.dynamic_slice(out, st, box + batch)
             out = jax.lax.dynamic_update_slice(
-                out, win + w[j] * self.patch_vals[j], st
+                out, win + _bc(self.patch_vals[j], win) * w[j], st
             )
         return out
 
     def apply(self, x: jax.Array) -> jax.Array:
-        return self.base.apply(x) + self.b_apply(self.sigma_inv * self.bt_apply(x))
+        bt = self.bt_apply(x)
+        return self.base.apply(x) + self.b_apply(_bc(self.sigma_inv, bt) * bt)
 
     def to_dense(self) -> jax.Array:
         Bf = self.B.reshape(self.n, self.k)

@@ -35,6 +35,7 @@ from parmgmc_tpu._pytree import pytree_dataclass
 
 __all__ = [
     "StencilOperator",
+    "FDStencilOperator",
     "shifted_laplace_fd",
     "prolong",
     "restrict",
@@ -148,6 +149,113 @@ class StencilOperator:
         )
 
 
+class FDStencilOperator(StencilOperator):
+    """Link-count FD operator with LAZY setup constants.
+
+    Stores only the two scalars (kappa2, hinv2); ``diag`` and ``coeffs``
+    are synthesized from iotas INSIDE whatever trace touches them, so a
+    1024^3 operator costs 8 bytes of setup state instead of the 4.3 GB
+    materialized diagonal (+ another 4.3 GB for the sampler's
+    noise_scale) that capped the scaling study at 768^3 (BENCH_NOTES
+    2026-08-20).  The reference's PETSc assembly has no size ceiling
+    (``/root/reference/src/problems.c:14-75``); this is the TPU-native
+    equivalent — the flagship kernels already rebuild the diagonal on
+    chip from (kappa2, hinv2), so for them the arrays were dead weight.
+
+    Subclasses :class:`StencilOperator` so every ``isinstance`` gate
+    (fused-kernel eligibility, hierarchy builders) keeps working; the
+    inherited ``apply``/``offdiag_apply``/``to_dense``/``to_csr`` read
+    ``diag``/``coeffs`` through the lazy properties.  Outside a trace,
+    touching ``.diag`` materializes it (small grids / tests only).
+    """
+
+    def __init__(self, kappa2, hinv2, grid_shape, dtype=None):
+        if dtype is None:
+            dtype = jnp.asarray(kappa2).dtype
+        object.__setattr__(self, "kappa2", jnp.asarray(kappa2, dtype))
+        object.__setattr__(self, "hinv2", jnp.asarray(hinv2, dtype))
+        object.__setattr__(
+            self, "_grid_shape", tuple(int(s) for s in grid_shape)
+        )
+        d = len(self._grid_shape)
+        offs = []
+        for axis in range(d):
+            for s in (-1, 1):
+                off = [0] * d
+                off[axis] = s
+                offs.append(tuple(off))
+        object.__setattr__(self, "offsets", tuple(offs))
+
+    # -- lazy synthesis ----------------------------------------------------
+    @property
+    def grid_shape(self) -> tuple:
+        return self._grid_shape
+
+    @property
+    def ndim(self) -> int:
+        return len(self._grid_shape)
+
+    @property
+    def n(self) -> int:
+        return math.prod(self._grid_shape)
+
+    @property
+    def dtype(self):
+        return self.kappa2.dtype
+
+    def links(self) -> jax.Array:
+        """#in-grid neighbours per point, from iotas (fuses in-trace)."""
+        shape = self._grid_shape
+        links = jnp.zeros(shape, self.dtype)
+        for ax in range(self.ndim):
+            i = jax.lax.broadcasted_iota(jnp.int32, shape, ax)
+            links = (
+                links
+                + (i >= 1).astype(self.dtype)
+                + (i <= shape[ax] - 2).astype(self.dtype)
+            )
+        return links
+
+    @property
+    def diag(self) -> jax.Array:
+        return self.kappa2 + self.hinv2 * self.links()
+
+    @property
+    def coeffs(self) -> tuple:
+        c = -self.hinv2
+        return tuple(c for _ in self.offsets)
+
+    def scale_dtype(self, dtype) -> "FDStencilOperator":
+        return FDStencilOperator(
+            self.kappa2.astype(dtype),
+            self.hinv2.astype(dtype),
+            self._grid_shape,
+            dtype=dtype,
+        )
+
+    def fd_params(self) -> jax.Array:
+        """(kappa2, hinv2) stack — detect_fd_params' short-circuit."""
+        return jnp.stack([self.kappa2, self.hinv2])
+
+
+def _fd_unflatten(aux, kids):
+    # no jnp.asarray here: unflatten must accept tracers and
+    # ShapeDtypeStruct leaves verbatim (vmap/eval_shape paths)
+    op = object.__new__(FDStencilOperator)
+    object.__setattr__(op, "kappa2", kids[0])
+    object.__setattr__(op, "hinv2", kids[1])
+    object.__setattr__(op, "_grid_shape", aux[0])
+    object.__setattr__(op, "offsets", aux[1])
+    return op
+
+
+jax.tree_util.register_pytree_node(
+    FDStencilOperator,
+    lambda op: ((op.kappa2, op.hinv2), (op._grid_shape, op.offsets)),
+    _fd_unflatten,
+)
+
+
 @jax.jit
 def _to_dense_jit(op: "StencilOperator") -> jax.Array:
     n = op.n
@@ -156,15 +264,34 @@ def _to_dense_jit(op: "StencilOperator") -> jax.Array:
     return cols.T  # cols[i] = A e_i is column i
 
 
+# above this many points the FD constructor returns the LAZY operator:
+# a materialized diag at 768^3 is 1.8 GB of HBM (and its sampler's
+# noise_scale another 1.8) that the fused kernels never read
+_FD_LAZY_THRESHOLD = 2**28  # 268M points: 768^3 and up
+
+
 def fd_stencil(
-    grid_shape: Sequence[int], kappa2: float, hinv2: float, dtype=jnp.float32
+    grid_shape: Sequence[int],
+    kappa2: float,
+    hinv2: float,
+    dtype=jnp.float32,
+    lazy: "bool | str" = "auto",
 ) -> StencilOperator:
     """Link-count-form FD star operator: off-diagonals ``-hinv2``,
     diagonal ``kappa2 + hinv2 * #in-grid neighbours``.  The diagonal is
     built on DEVICE from iotas — no grid-sized host constant, so setup
     at 768^3 neither allocates gigabytes of host memory nor drags them
-    through the remote-device tunnel."""
+    through the remote-device tunnel.  Past ``_FD_LAZY_THRESHOLD``
+    points (or with ``lazy=True``) returns :class:`FDStencilOperator`,
+    whose diag/coeffs are synthesized in-trace — removing the setup
+    ceiling at 1024^3 entirely."""
     grid_shape = tuple(int(s) for s in grid_shape)
+    if lazy is True or (
+        lazy == "auto" and math.prod(grid_shape) >= _FD_LAZY_THRESHOLD
+    ):
+        return FDStencilOperator(
+            jnp.asarray(kappa2, dtype), jnp.asarray(hinv2, dtype), grid_shape
+        )
     d = len(grid_shape)
 
     offsets = []
@@ -215,6 +342,10 @@ def detect_fd_params(op: "StencilOperator") -> "jax.Array | None":
     operation.  Called on an operator of tracers (inside a user's jit)
     it returns None rather than raising, and callers fall back to the
     general (diag-streaming) machinery."""
+    if isinstance(op, FDStencilOperator):
+        # lazy FD operators ARE the pattern by construction; probing the
+        # materialized diag here would allocate the full grid
+        return op.fd_params()
     c0 = op.coeffs[0]
     if any(getattr(c, "ndim", 0) != 0 for c in op.coeffs):
         return None

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from parmgmc_tpu._pytree import bcast_trailing as _bc
 from parmgmc_tpu._pytree import pytree_dataclass
 from parmgmc_tpu.operators import stencil as _st
 
@@ -94,18 +95,37 @@ class AggregateTransfer:
 
 @pytree_dataclass
 class SparseTransfer:
-    """P (nf x nc) stored as row-gather ELL in both orientations."""
+    """P (nf x nc) stored as row-gather ELL in both orientations.
+
+    Applies accept a trailing chain axis (``(n, C)`` chain-major
+    multichain layout) and run as per-k ROW gathers — each gathered
+    element is a contiguous C-wide row, which measures ~2.6x faster on
+    TPU than one flat (n, w, C) gather (probe_mesh_multichain)."""
 
     p_vals: jax.Array  # (nf, w)
     p_cols: jax.Array  # (nf, w) int32 into coarse
     pt_vals: jax.Array  # (nc, wt)
     pt_cols: jax.Array  # (nc, wt) int32 into fine
 
+    @staticmethod
+    def _ell_apply(vals, cols, x):
+        if vals.shape[0] < 8192:
+            # small coarse levels: one flat gather keeps the op count
+            # down (w tiny gathers would cost more in dispatch/compile
+            # than the few KB of padding bandwidth they save)
+            g = x[cols]
+            return jnp.sum(_bc(vals, g) * g, axis=1)
+        out = None
+        for k in range(vals.shape[1]):
+            contrib = _bc(vals[:, k], x) * x[cols[:, k]]
+            out = contrib if out is None else out + contrib
+        return out
+
     def prolong(self, xc):
-        return jnp.sum(self.p_vals * xc[self.p_cols], axis=1)
+        return self._ell_apply(self.p_vals, self.p_cols, xc)
 
     def restrict(self, xf):
-        return jnp.sum(self.pt_vals * xf[self.pt_cols], axis=1)
+        return self._ell_apply(self.pt_vals, self.pt_cols, xf)
 
 
 def _ell_from_csr(M, dtype):

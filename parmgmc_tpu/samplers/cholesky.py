@@ -78,13 +78,19 @@ class CholeskySampler:
     def noise_shapes(self):
         return [{"eta": (self.n,)}]
 
+    def _flat(self, b):
+        """Flatten the grid dims of b to (n, [C]) keeping trailing chain
+        dims (the chain-major multichain layout)."""
+        batch = b.shape[len(self.grid_shape) :]
+        return b.reshape((self.n,) + batch)
+
     def prepare(self, b):
         """Cache v = L^{-1} b (reused across every sample of the chain)."""
         if self.Li is None:
             return jax.scipy.linalg.solve_triangular(
-                self.L, b.reshape(self.n), lower=True
+                self.L, self._flat(b), lower=True
             )
-        return self.Li @ b.reshape(self.n)
+        return self.Li @ self._flat(b)
 
     def step_with_noise(self, x, b, noises, aux=None):
         del x  # exact sampler: iterates are i.i.d.
@@ -94,11 +100,12 @@ class CholeskySampler:
             y = jax.scipy.linalg.solve_triangular(self.L.T, w, lower=False)
         else:
             y = self.Li.T @ w
-        return y.reshape(self.grid_shape)
+        return y.reshape(self.grid_shape + w.shape[1:])
 
     def step(self, key, x, b, aux=None):
         key, sub = jax.random.split(key)
-        eta = jax.random.normal(sub, (self.n,), dtype=self.dtype)
+        batch = x.shape[len(self.grid_shape) :]
+        eta = jax.random.normal(sub, (self.n,) + batch, dtype=self.dtype)
         return key, self.step_with_noise(x, b, [{"eta": eta}], aux)
 
 

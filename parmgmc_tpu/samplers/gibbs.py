@@ -24,11 +24,13 @@ reference's seed^rank MKL streams, parmgmc.c:80-97).
 
 from __future__ import annotations
 
+import functools
 from typing import Union
 
 import jax
 import jax.numpy as jnp
 
+from parmgmc_tpu._pytree import bcast_trailing as _bc
 from parmgmc_tpu._pytree import pytree_dataclass
 from parmgmc_tpu.operators.lrc import LRCOperator
 from parmgmc_tpu.operators.stencil import StencilOperator
@@ -44,23 +46,33 @@ def build_lrc_correction(
 
     M^{-1} columns are computed by running the deterministic sweep from a
     zero initial guess on each column of B — batched with vmap instead of
-    the reference's column-by-column loop (mc_sor.c:493-511).
+    the reference's column-by-column loop (mc_sor.c:493-511).  The whole
+    computation runs as ONE jitted program: callers are eager (sampler
+    setup), and op-by-op dispatch of a multicolour sweep through the
+    remote-TPU tunnel costs ~0.6 s of compile per op (minutes per sweep
+    on graph operators, whose colour sub-sweeps are many small ops).
     """
-    gshape = base.grid_shape
-    d = len(gshape)
-    k = B.shape[-1]
+    return _build_lrc_correction_jit(sweep)(base, B, sigma_inv, omega)
 
-    def det_sor(col):  # one deterministic sweep from zero: M^{-1} col
-        return _op_sweep(base, col, jnp.zeros_like(col), omega, sweep)
 
-    cols = jnp.moveaxis(B, -1, 0)  # (k, *grid)
-    C = jax.vmap(det_sor)(cols)  # (k, *grid) = columns of M^{-1} B
-    axes = tuple(range(1, d + 1))
-    BtC = jnp.tensordot(jnp.moveaxis(B, -1, 0), C, axes=(axes, axes))  # (k, k)
-    small = jnp.diag(1.0 / sigma_inv) + BtC  # Sigma + B^T M^{-1} B
-    Sb = jnp.linalg.solve(small, jnp.eye(k, dtype=B.dtype))
-    Bb = jnp.tensordot(C, Sb, axes=((0,), (0,)))  # (*grid, k)
-    return Bb
+@functools.lru_cache(maxsize=None)
+def _build_lrc_correction_jit(sweep: str):
+    def run(base, B, sigma_inv, omega):
+        d = len(B.shape) - 1
+        k = B.shape[-1]
+
+        def det_sor(col):  # one deterministic sweep from zero: M^{-1} col
+            return _op_sweep(base, col, jnp.zeros_like(col), omega, sweep)
+
+        cols = jnp.moveaxis(B, -1, 0)  # (k, *grid)
+        C = jax.vmap(det_sor)(cols)  # (k, *grid) = columns of M^{-1} B
+        axes = tuple(range(1, d + 1))
+        BtC = jnp.tensordot(jnp.moveaxis(B, -1, 0), C, axes=(axes, axes))
+        small = jnp.diag(1.0 / sigma_inv) + BtC  # Sigma + B^T M^{-1} B
+        Sb = jnp.linalg.solve(small, jnp.eye(k, dtype=B.dtype))
+        return jnp.tensordot(C, Sb, axes=((0,), (0,)))  # (*grid, k)
+
+    return jax.jit(run)
 
 
 def _op_sweep(base, b, x, omega, sweep):
@@ -180,7 +192,16 @@ class GibbsSampler:
             # case detect_fd_params returns None by contract).
             fd_params = _detect_fd(base)
         om = jnp.asarray(omega, dtype=base.dtype)
-        noise_scale = jnp.sqrt((2.0 - om) / om) * jnp.sqrt(base.diag)
+        from parmgmc_tpu.operators.stencil import FDStencilOperator
+
+        if isinstance(base, FDStencilOperator):
+            # lazy FD operator: materializing sqrt(diag) here would
+            # allocate the full grid (4.3 GB at 1024^3) for an array the
+            # fused kernels never read; the lax path synthesizes it
+            # in-trace instead (see step_with_noise)
+            noise_scale = None
+        else:
+            noise_scale = jnp.sqrt((2.0 - om) / om) * jnp.sqrt(base.diag)
         return GibbsSampler(
             base=base,
             omega=om,
@@ -231,11 +252,20 @@ class GibbsSampler:
 
     # -- transitions ---------------------------------------------------------
     def _half_step(self, x, b, noise, direction):
+        # x (and the noises) may carry trailing chain dims beyond
+        # grid_shape — the chain-major multichain layout; per-grid
+        # constants broadcast via _bc.
         if b is None:  # zero-RHS (prior) convention
             b = jnp.zeros_like(x)
-        btilde = b + self.noise_scale * noise["eta"]
+        eta = noise["eta"]
+        ns = self.noise_scale
+        if ns is None:  # lazy FD base: synthesize in-trace (fused away)
+            ns = jnp.sqrt((2.0 - self.omega) / self.omega) * jnp.sqrt(
+                self.base.diag
+            )
+        btilde = _bc(b, eta) + _bc(ns, eta) * eta
         if self.is_lrc:
-            w = self.sqrt_sigma_inv * noise["eta_lr"]
+            w = _bc(self.sqrt_sigma_inv, noise["eta_lr"]) * noise["eta_lr"]
             ndim = self.base.ndim
             btilde = btilde + jnp.tensordot(self.B, w, axes=((ndim,), (0,)))
         x = _op_sweep(self.base, btilde, x, self.omega, direction)
@@ -335,12 +365,19 @@ class GibbsSampler:
         if self.impl in ("fused", "fused_fd"):
             return self._fused_step(key, x, b)
         key, sub = jax.random.split(key)
-        noises = _draw(sub, self.noise_shapes(), x.dtype)
+        batch = x.shape[len(self.grid_shape) :]
+        noises = _draw(sub, self.noise_shapes(), x.dtype, batch)
         return key, self.step_with_noise(x, b, noises)
 
 
-def _draw(key, shapes, dtype):
+def _draw(key, shapes, dtype, batch=()):
+    """Draw N(0,1) pytrees for the given shapes; ``batch`` appends the
+    trailing chain dims of the multichain layout to every leaf (each
+    chain column gets its own iid slice of a single keyed draw)."""
     leaves, treedef = jax.tree_util.tree_flatten(shapes, is_leaf=lambda s: isinstance(s, tuple))
     keys = jax.random.split(key, len(leaves))
-    draws = [jax.random.normal(k, s, dtype=dtype) for k, s in zip(keys, leaves)]
+    draws = [
+        jax.random.normal(k, tuple(s) + tuple(batch), dtype=dtype)
+        for k, s in zip(keys, leaves)
+    ]
     return jax.tree_util.tree_unflatten(treedef, draws)

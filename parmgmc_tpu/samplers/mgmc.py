@@ -33,6 +33,7 @@ import math
 import jax
 import jax.numpy as jnp
 
+from parmgmc_tpu._pytree import bcast_trailing as _bc
 from parmgmc_tpu._pytree import pytree_dataclass
 from parmgmc_tpu.operators.lrc import LRCOperator
 from parmgmc_tpu.operators.stencil import (
@@ -100,11 +101,17 @@ def build_hierarchy(op, n_levels=None, coarsest_size=128, coarsening="linear"):
             # indices, which OOMs 16 GB of HBM at the 384^3 level.
             d = base.ndim
             k2, h2 = float(fd[0]), float(fd[1])
+            from parmgmc_tpu.operators.stencil import FDStencilOperator
+
             coarse_base = fd_stencil(
                 coarse_shape(gshape),
                 (2**d) * k2,
                 (2 ** (d - 1)) * h2,
                 dtype=base.dtype,
+                # a lazy fine level keeps its whole hierarchy lazy (the
+                # 512^3 level under a 1024^3 run is another 1.1 GB of
+                # dead diag+noise_scale otherwise)
+                lazy=True if isinstance(base, FDStencilOperator) else "auto",
             )
         else:
             coarse_base = compress_stencil(galerkin_coarse_operator(base, tr))
@@ -284,10 +291,12 @@ class MGMCSampler:
         """y <- y + M_mg(b - A y) — the state-carrying Richardson update.
 
         ``b=None`` means a zero RHS (prior sampling): equivalent to
-        passing explicit zeros."""
+        passing explicit zeros.  ``x`` may carry trailing chain dims
+        (the chain-major multichain layout; the noises must then carry
+        them too — :func:`gibbs._draw` with ``batch``)."""
         if b is None:
             b = jnp.zeros_like(x)
-        r = b - self.fine_op.apply(x)
+        r = _bc(b, x) - self.fine_op.apply(x)
         return x + self._cycle(0, r, noises)
 
     # -- keyed cycle: lets fused-kernel smoothers generate noise on chip ----
@@ -908,5 +917,6 @@ class MGMCSampler:
                 z1 = self._cycle_keyed(1, rc, sub2)
                 return key, x + y0 + self.transfers[0].prolong(z1)
             return key, x + self._cycle_keyed(0, r, sub)
-        noises = _draw(sub, self.noise_shapes(), x.dtype)
+        batch = x.shape[len(self.grid_shape) :]
+        noises = _draw(sub, self.noise_shapes(), x.dtype, batch)
         return key, self.step_with_noise(x, b, noises)

@@ -26,7 +26,9 @@ from parmgmc_tpu.samplers.cholesky import (
     exact_sampler,
 )
 
-WRENCH = "/root/reference/data/wrench.msh"
+from parmgmc_tpu.models.mesh import mesh_path
+
+WRENCH = mesh_path("wrench")  # repo-owned data/wrench.msh (reference fallback)
 
 
 def test_stencil_to_csr_matches_dense():

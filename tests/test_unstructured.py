@@ -29,7 +29,9 @@ from parmgmc_tpu.samplers.gibbs import GibbsSampler
 from parmgmc_tpu.samplers.mgmc import MGMCSampler
 from parmgmc_tpu.testing import invariance_error
 
-WRENCH = "/root/reference/data/wrench.msh"
+from parmgmc_tpu.models.mesh import mesh_path
+
+WRENCH = mesh_path("wrench")  # repo-owned data/wrench.msh (reference fallback)
 TOL = 1e-10
 
 
