@@ -610,6 +610,46 @@ def selftest_patch():
     print(f"fused patch sweep at 128^3: {dt * 1e3:.1f} ms/sweep "
           f"(lax path: ~3400 ms; gate 300)")
     assert dt < 0.3, dt
+
+    # (3) round-4 STREAMING kernel: deterministic A/B vs the resident
+    # kernel on-chip, then throughput at 256^3 (past the resident VMEM
+    # ceiling — the VERDICT item-3 target size).
+    from parmgmc_tpu.kernels.patch_sweep import (
+        fused_patch_sweep_sqfd,
+        fused_patch_sweep_sqfd_streamed,
+        patch_sweep_streaming_supported,
+    )
+    from parmgmc_tpu.samplers.patch_gibbs import detect_squared_fd
+
+    p = detect_squared_fd(op)
+    key = jax.random.PRNGKey(7)
+    xs = jax.random.normal(key, GRID, jnp.float32)
+    bs = jax.random.normal(jax.random.fold_in(key, 1), GRID, jnp.float32)
+    fr = jax.jit(lambda x_, b_: fused_patch_sweep_sqfd(
+        x_, b_, p[0], p[1], 3, 4, with_noise=False))
+    fs = jax.jit(lambda x_, b_: fused_patch_sweep_sqfd_streamed(
+        x_, b_, p[0], p[1], 3, 4, with_noise=False))
+    d = float(jnp.abs(fr(xs, bs) - fs(xs, bs)).max())
+    print(f"streaming vs resident on-chip (det): max |dx| {d:.2e} (gate 1e-5)")
+    assert d < 1e-5, d
+
+    N = 256
+    assert patch_sweep_streaming_supported((N, N, N))
+    opN = squared_shifted_laplace_fd((N, N, N), 1.0, dtype=jnp.float32)
+    smpN = PatchGibbsSampler.create(opN)
+    assert smpN.impl == "fused", "256^3 should route to the streaming kernel"
+    bN = None  # prior sampling: no b stream
+    runN = jax.jit(lambda smp_, st, bb: sweep_n(smp_, st, bb, 3))
+    stN = ChainState(x=jnp.zeros((N,) * 3, jnp.float32), key=jax.random.PRNGKey(1))
+    x = runN(smpN, stN, bN)
+    float(jnp.sum(x))
+    t0 = time.perf_counter()
+    x = runN(smpN, stN, bN)
+    float(jnp.sum(x))
+    dtN = (time.perf_counter() - t0) / 3
+    print(f"streaming patch sweep at 256^3: {dtN * 1e3:.1f} ms/sweep "
+          f"(lax path extrapolates to ~27 s; gate 2000)")
+    assert dtN < 2.0, dtN
     print("selftest-patch OK")
 
 

@@ -137,18 +137,34 @@ def main():
         ms.set_qoi(lambda x: jnp.mean(x))
 
     if args.chains > 1:
-        # vmapped chains: mesh sweeps are launch-bound, so the chain
-        # axis vectorizes almost for free (CLAUDE/BENCH_NOTES) — this
-        # is the production configuration the throughput claim uses.
+        # many chains: graph samplers run CHAIN-MAJOR (one (n, C) state,
+        # every gather amortized over the chain axis — ~4x the vmapped
+        # layout, round 4); everything else vmaps.  Dispatches are
+        # chunked to ~1024 samples: a single on-device dispatch past
+        # ~2 minutes crashes the axon worker (CLAUDE.md).
+        t00 = time.perf_counter()
+
+        def note(msg):
+            print(f"[{time.perf_counter() - t00:7.1f}s] {msg}", flush=True)
+
+        note("setup done; compiling burn-in program")
         ms.sample_chains(args.burnin, args.chains)  # burn-in + compile
+        note("burn-in done")
+        chunk = min(args.samples, 1024)
+        n_chunks = -(-args.samples // chunk)
         t0 = time.perf_counter()
-        q = np.asarray(ms.sample_chains(args.samples, args.chains))
+        qs = []
+        for ci in range(n_chunks):
+            qs.append(np.asarray(ms.sample_chains(chunk, args.chains)))
+            note(f"chunk {ci + 1}/{n_chunks} done")
         wall = time.perf_counter() - t0
+        q = np.concatenate(qs, axis=1)[:, : args.samples]
         taus, valids = iact(q)
         tau = float(np.maximum(taus, 1.0).mean())
         valid = bool(np.all(valids))
-        tps = wall / (args.samples * args.chains) * 1000
-        print(f"chains: {args.chains} (vmapped)")
+        nrec = q.shape[1]
+        tps = wall / (nrec * args.chains) * 1000
+        print(f"chains: {args.chains} (chain-major)")
         print(f"Time per sample [ms, aggregate]: {tps:.4f}")
         print(f"IACT (mean over chains): {tau:.3f}"
               f"{'' if valid else ' (window short)'}")

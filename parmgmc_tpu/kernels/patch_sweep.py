@@ -55,7 +55,12 @@ from parmgmc_tpu.kernels.rb_gibbs import (
     _sincos2pi,
 )
 
-__all__ = ["fused_patch_sweep_sqfd", "patch_sweep_supported"]
+__all__ = [
+    "fused_patch_sweep_sqfd",
+    "fused_patch_sweep_sqfd_streamed",
+    "patch_sweep_supported",
+    "patch_sweep_streaming_supported",
+]
 
 # member offsets of a vertex star (center first) — must match
 # PatchGibbsSampler.create's ordering
@@ -70,9 +75,14 @@ _MEMBERS = (
 )
 _K = len(_MEMBERS)
 _M = 5  # colour base (radius 2 + 3)
-_TC = 8  # center rows per group
+_TC = 8  # center rows per group (VMEM-resident kernel)
 _STRIDE = _M * _TC  # 40 rows of centers per group
 _W = _STRIDE + 6  # window rows: members (+-1) + stencil reach (+-2)
+
+# live slab temporaries of one group pass, in units of (tc, N1, N2)
+# floats (masks/xs/rs/ds/lk/A/rhs/Lf/z/y peak liveness; measured model
+# from patch_sweep_supported round 3)
+_SLAB_TEMPS = 70
 
 
 def _shiftp(a, axis, by):
@@ -116,47 +126,40 @@ def _eta_slab(h, n1, n2, tc=_TC):
     return e1, e2
 
 
-def _kernel(
-    fscal_ref,  # SMEM (2,) f32: kappa2, hinv2
-    iscal_ref,  # SMEM (2,) i32: seed, step
-    xp_ref,  # (NP, N1, N2) padded x
-    bp_ref,  # (NP, N1, N2) padded b
-    out_ref,  # (NP, N1, N2)
+def _group_slab(
+    xw,  # (W, N1, N2) window VALUES (W = 5*tc + 6)
+    bw,  # (W, N1, N2) RHS window values (zeros for b=None)
+    i,  # flat colour*n_groups + g index (noise keying)
+    c,
+    g,
+    k2,
+    h2,
+    su,
+    stepu,
     *,
-    shape,  # true (N0, N1, N2)
-    pad_lo,  # leading rows of padding
-    n_groups,
+    shape,
+    tc,
     with_noise,
 ):
+    """One (colour, row-group) patch pass on a window slab: returns the
+    updated (5*tc, N1, N2) member slab.  Shared by the VMEM-resident
+    kernel (window read straight from the resident out_ref) and the
+    round-4 STREAMING kernel (window DMA'd from HBM)."""
     N0, N1, N2 = shape
-    k2 = fscal_ref[0]
-    h2 = fscal_ref[1]
-    if with_noise:
-        su = iscal_ref[0].astype(jnp.uint32)
-        stepu = iscal_ref[1].astype(jnp.uint32)
+    stride = _M * tc
+    W = stride + 6
     f32 = jnp.float32
-
-    out_ref[...] = xp_ref[...]
+    a0 = c // (_M * _M)
+    a1 = (c // _M) % _M
+    a2 = c % _M
 
     j1 = jax.lax.broadcasted_iota(jnp.int32, (N1, N2), 0)
     j2 = jax.lax.broadcasted_iota(jnp.int32, (N1, N2), 1)
-    uarange = jax.lax.broadcasted_iota(jnp.int32, (_W, 1, 1), 0)
+    uarange = jax.lax.broadcasted_iota(jnp.int32, (W, 1, 1), 0)
 
-    def body(i, _):
-        c = i // n_groups
-        g = i % n_groups
-        a0 = c // (_M * _M)
-        a1 = (c // _M) % _M
-        a2 = c % _M
-
-        # window start in padded coords: rows [w0, w0+_W) cover centers
-        # a0 + 40g + 5t (t < 8) with member (+-1) and stencil (+-2) reach
-        w0 = pad_lo + a0 + _STRIDE * g - 3
-        xw = out_ref[pl.dslice(w0, _W)]
-        bw = bp_ref[pl.dslice(w0, _W)]
-
+    if True:  # (kept at the old body's indentation depth)
         # global row of window index u
-        gr = (a0 + _STRIDE * g - 3) + uarange  # (_W,1,1)
+        gr = (a0 + stride * g - 3) + uarange  # (W,1,1)
         inrow = ((gr >= 0) & (gr <= N0 - 1)).astype(f32)
         lnk = (
             (gr >= 1).astype(f32)
@@ -184,8 +187,8 @@ def _kernel(
 
         # colour masks
         mplane = ((j1 % _M == a1) & (j2 % _M == a2)).astype(f32)
-        crow = (a0 + _STRIDE * g) + _M * jax.lax.broadcasted_iota(
-            jnp.int32, (_TC, 1, 1), 0
+        crow = (a0 + stride * g) + _M * jax.lax.broadcasted_iota(
+            jnp.int32, (tc, 1, 1), 0
         )
         cvalid = (crow <= N0 - 1).astype(f32)  # crow >= 0 always
         center_m = cvalid * mplane[None]
@@ -193,8 +196,8 @@ def _kernel(
         def sel(v, o):
             """(TC, N1, N2): value of window-array v at member offset o
             from each center (static stride-5 row select by reshape)."""
-            s = v[1 + o[0] : 1 + o[0] + _STRIDE]
-            s = s.reshape(_TC, _M, N1, N2)[:, 2]
+            s = v[1 + o[0] : 1 + o[0] + stride]
+            s = s.reshape(tc, _M, N1, N2)[:, 2]
             return _shiftp(_shiftp(s, 1, o[1]), 2, o[2])
 
         # member in-grid masks (center validity folded in)
@@ -276,12 +279,12 @@ def _kernel(
             for p_ in range((_K + 1) // 2):
                 h = _mix(_mix(su, stepu), i.astype(jnp.uint32))
                 e1, e2 = _eta_slab(
-                    _mix(h, jnp.uint32(p_)), N1, N2
+                    _mix(h, jnp.uint32(p_)), N1, N2, tc=tc
                 )
                 ets += [e1, e2]
             ets = ets[:_K]
         else:
-            ets = [jnp.zeros((_TC, N1, N2), f32)] * _K
+            ets = [jnp.zeros((tc, N1, N2), f32)] * _K
 
         y = [None] * _K
         for i_ in reversed(range(_K)):
@@ -292,7 +295,7 @@ def _kernel(
 
         # scatter back: rebuild the 40-row member slab with masked
         # member updates (same-colour patches never collide)
-        S = xw[1 : 1 + _STRIDE].reshape(_TC, _M, N1, N2)
+        S = xw[1 : 1 + stride].reshape(tc, _M, N1, N2)
         rows = [S[:, m_] for m_ in range(_M)]
         for i_, o in enumerate(_MEMBERS):
             m_ = 2 + o[0]
@@ -305,11 +308,117 @@ def _kernel(
             rows[m_] = jnp.where(mb > 0.5, upd, rows[m_])
         Sn = jnp.concatenate(
             [r[:, None] for r in rows], axis=1
-        ).reshape(_STRIDE, N1, N2)
+        ).reshape(stride, N1, N2)
+        return Sn
+
+
+def _kernel(
+    fscal_ref,  # SMEM (2,) f32: kappa2, hinv2
+    iscal_ref,  # SMEM (2,) i32: seed, step
+    xp_ref,  # (NP, N1, N2) padded x (VMEM)
+    bp_ref,  # (NP, N1, N2) padded b (VMEM)
+    out_ref,  # (NP, N1, N2)
+    *,
+    shape,
+    pad_lo,
+    n_groups,
+    with_noise,
+):
+    """Whole-array VMEM-resident sweep: all 125 colours in one launch."""
+    k2 = fscal_ref[0]
+    h2 = fscal_ref[1]
+    su = iscal_ref[0].astype(jnp.uint32)
+    stepu = iscal_ref[1].astype(jnp.uint32)
+
+    out_ref[...] = xp_ref[...]
+
+    def body(i, _):
+        c = i // n_groups
+        g = i % n_groups
+        a0 = c // (_M * _M)
+        w0 = pad_lo + a0 + _STRIDE * g - 3
+        xw = out_ref[pl.dslice(w0, _W)]
+        bw = bp_ref[pl.dslice(w0, _W)]
+        Sn = _group_slab(
+            xw, bw, i, c, g, k2, h2, su, stepu,
+            shape=shape, tc=_TC, with_noise=with_noise,
+        )
         out_ref[pl.dslice(w0 + 1, _STRIDE)] = Sn
         return 0
 
     jax.lax.fori_loop(0, (_M**3) * n_groups, body, 0)
+
+
+def _kernel_streamed(
+    fscal_ref,  # SMEM (2,) f32
+    iscal_ref,  # SMEM (2,) i32
+    *refs,  # x_hbm [, b_hbm], out_hbm, xw, [bw,] snw, sem
+    shape,
+    pad_lo,
+    n_groups,
+    tc,
+    with_noise,
+    with_b,
+):
+    """STREAMING sweep (round 4): state in HBM, one (colour, row-group)
+    window in VMEM at a time.  The output is ALIASED to the x input, so
+    each grid step's window read observes every previous step's
+    write-back; grid steps are sequential ("arbitrary" semantics) and
+    both DMAs complete inside the body, which serializes the 2-row
+    read-after-write overlap between consecutive groups of a colour.
+    Group-size tc shrinks with the plane so the ~70 live slab
+    temporaries fit VMEM at any N0 — this is what lifts the 160^3
+    resident ceiling (PARITY "Known gaps") to arbitrary sizes."""
+    if with_b:
+        x_hbm, b_hbm, out_hbm, xw, bw, snw, sem = refs
+    else:
+        x_hbm, out_hbm, xw, snw, sem = refs
+        b_hbm = bw = None
+    stride = _M * tc
+    W = stride + 6
+    k2 = fscal_ref[0]
+    h2 = fscal_ref[1]
+    su = iscal_ref[0].astype(jnp.uint32)
+    stepu = iscal_ref[1].astype(jnp.uint32)
+
+    i = pl.program_id(0)
+    c = i // n_groups
+    g = i - c * n_groups
+    a0 = c // (_M * _M)
+    w0 = pad_lo + a0 + stride * g - 3
+
+    # first grid step: seed the output buffer with the padded input
+    # (whole-buffer HBM->HBM DMA; aliasing the input was the obvious
+    # alternative but ANY-output aliasing is untried on this toolchain)
+    @pl.when(i == 0)
+    def _init():
+        cp0 = pltpu.make_async_copy(x_hbm, out_hbm, sem.at[0])
+        cp0.start()
+        cp0.wait()
+
+    inc = pltpu.make_async_copy(out_hbm.at[pl.ds(w0, W)], xw, sem.at[0])
+    inc.start()
+    if with_b:
+        bc = pltpu.make_async_copy(b_hbm.at[pl.ds(w0, W)], bw, sem.at[1])
+        bc.start()
+    inc.wait()
+    if with_b:
+        bc.wait()
+    bwv = (
+        bw[...]
+        if with_b
+        else jnp.zeros((W, shape[1], shape[2]), jnp.float32)
+    )
+    Sn = _group_slab(
+        xw[...], bwv, i, c, g, k2, h2, su, stepu,
+        shape=shape, tc=tc, with_noise=with_noise,
+    )
+    snw[...] = Sn
+    outc = pltpu.make_async_copy(
+        snw, out_hbm.at[pl.ds(w0 + 1, stride)], sem.at[2]
+    )
+    outc.start()
+    outc.wait()
 
 
 def patch_sweep_supported(shape) -> bool:
@@ -332,6 +441,105 @@ def patch_sweep_supported(shape) -> bool:
     return bytes_needed < int(VMEM_LIMIT * 0.85)
 
 
+def _streaming_tc(shape) -> int:
+    """Largest center-rows-per-group whose slab temporaries + windows
+    fit the VMEM budget (0 = streaming unsupported)."""
+    N0, N1, N2 = shape
+    rowbytes = N1 * N2 * 4
+    budget = int(VMEM_LIMIT * 0.8)
+    # temporaries: _SLAB_TEMPS slabs of (tc, N1, N2); windows: xw + bw
+    # (2 * (5 tc + 6) rows) + snw (5 tc rows)
+    tc = (budget // rowbytes - 12) // (_SLAB_TEMPS + 15)
+    return max(0, min(_TC, int(tc)))
+
+
+def patch_sweep_streaming_supported(shape) -> bool:
+    """Can the HBM-streaming kernel serve this grid?  Needs only the
+    lane/extent basics plus ONE group window in VMEM — sizes far past
+    the resident kernel's ceiling (256^3+)."""
+    if len(shape) != 3:
+        return False
+    N0, N1, N2 = shape
+    if N2 % 128 or N1 < _M or N0 < _M:
+        return False
+    return _streaming_tc(shape) >= 1
+
+
+def fused_patch_sweep_sqfd_streamed(
+    x,
+    b,
+    kappa2,
+    hinv2,
+    seed,
+    step,
+    interpret: bool = False,
+    with_noise: bool = True,
+):
+    """Streaming variant of :func:`fused_patch_sweep_sqfd`: x (and b)
+    stay in HBM; each (colour, row-group) window is DMA'd into VMEM,
+    updated, and written back (output aliased to the x input, grid
+    sequential).  Deterministically identical to the resident kernel
+    and the lax path for ANY group size (row groups of a colour are
+    independent); the noise stream differs from the resident kernel's
+    (group indexing enters the keying) but targets the same law."""
+    N0, N1, N2 = x.shape
+    tc = _streaming_tc(x.shape)
+    assert tc >= 1, (x.shape, "streaming patch sweep: VMEM budget")
+    stride = _M * tc
+    n_centers = -(-N0 // _M)
+    n_groups = -(-n_centers // tc)
+    pad_lo = 8
+    np_rows = pad_lo + stride * n_groups + 7
+    pads = ((pad_lo, np_rows - pad_lo - N0), (0, 0), (0, 0))
+    xp = jnp.pad(x, pads)
+    with_b = b is not None
+
+    fscal = jnp.stack(
+        [jnp.asarray(kappa2, jnp.float32), jnp.asarray(hinv2, jnp.float32)]
+    )
+    iscal = jnp.stack(
+        [jnp.asarray(seed, jnp.int32), jnp.asarray(step, jnp.int32)]
+    )
+    kern = functools.partial(
+        _kernel_streamed,
+        shape=(N0, N1, N2),
+        pad_lo=pad_lo,
+        n_groups=n_groups,
+        tc=tc,
+        with_noise=with_noise,
+        with_b=with_b,
+    )
+    W = stride + 6
+    win = pltpu.VMEM((W, N1, N2), jnp.float32)
+    scratch = [win] + ([win] if with_b else []) + [
+        pltpu.VMEM((stride, N1, N2), jnp.float32),
+        pltpu.SemaphoreType.DMA((3,)),
+    ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    args = [fscal, iscal, xp]
+    if with_b:
+        bp = jnp.pad(b, pads)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        args.append(bp)
+    out = pl.pallas_call(
+        kern,
+        grid=((_M**3) * n_groups,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((np_rows, N1, N2), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=_compiler_params(
+            dimension_semantics=("arbitrary",)
+        ),
+    )(*args)
+    return out[pad_lo : pad_lo + N0]
+
+
 def fused_patch_sweep_sqfd(
     x,
     b,
@@ -344,9 +552,16 @@ def fused_patch_sweep_sqfd(
 ):
     """One full coloured vertex-star patch-Gibbs sweep of the SQUARED
     link-count FD operator (kappa2 + hinv2*links)^2 — one kernel
-    launch, state resident in VMEM.  See module docstring."""
+    launch, state resident in VMEM when it fits, HBM-streaming
+    windows beyond (round 4).  See module docstring."""
     N0, N1, N2 = x.shape
-    assert patch_sweep_supported(x.shape), x.shape
+    if not patch_sweep_supported(x.shape):
+        return fused_patch_sweep_sqfd_streamed(
+            x, b, kappa2, hinv2, seed, step,
+            interpret=interpret, with_noise=with_noise,
+        )
+    if b is None:
+        b = jnp.zeros_like(x)
     n_centers = -(-N0 // _M)
     n_groups = -(-n_centers // _TC)
     pad_lo = 8

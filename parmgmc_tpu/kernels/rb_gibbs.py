@@ -55,8 +55,8 @@ _TWO_PI = 6.283185307179586
 VMEM_LIMIT = 124 * 1024 * 1024
 
 
-def _compiler_params():
-    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+def _compiler_params(**kw):
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT, **kw)
 
 
 # Planes up to _PLANE_LIMIT points fit the whole-plane sliding-window

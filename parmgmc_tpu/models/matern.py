@@ -313,10 +313,24 @@ def _sample_chains(ms, iperm, n, n_chains, burnin):
     skey = ("m", n_chains) if batched else n_chains
     if rkey not in ms._runners:
         if batched:
-            extract = lambda x: jax.vmap(per, in_axes=-1)(x)
+            # permute ONCE chain-major (one contiguous row gather),
+            # then vmap only the user's QOI over the chain axis —
+            # a per-column x[iperm] under vmap was measured at ~20
+            # ms/step of gather overhead at wrench refine-3
+            if iperm is None:
+                extract = lambda x: jax.vmap(user, in_axes=-1)(x)
+            else:
+                extract = lambda x: jax.vmap(user, in_axes=-1)(x[iperm])
+            # CLOSE OVER the sampler: mesh operator pytrees are ~10s of
+            # MB (vs the flagship stencils' GBs that force the pass-as-
+            # argument rule, CLAUDE.md) and the axon tunnel re-ships
+            # ARGUMENT buffers every dispatch — measured ~25 ms fixed +
+            # ~1.4 ms/sweep in-loop penalty at wrench refine-3
+            # (examples/probe_mesh_multichain.py round-4 notes)
+            smp_c = ms.sampler
             ms._runners[rkey] = jax.jit(
                 lambda smp, st, bb: sample_chain(
-                    smp, st, bb, n, extract=extract, burnin=burnin
+                    smp_c, st, bb, n, extract=extract, burnin=burnin
                 )
             )
         else:

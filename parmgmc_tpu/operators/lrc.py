@@ -21,7 +21,70 @@ from parmgmc_tpu._pytree import bcast_trailing as _bc
 from parmgmc_tpu._pytree import pytree_dataclass
 from parmgmc_tpu.operators.stencil import StencilOperator
 
-__all__ = ["LRCOperator", "with_patches"]
+__all__ = ["LRCOperator", "with_patches", "column_patches", "patch_apply_add"]
+
+
+def column_patches(cols_grid: jax.Array, max_fill: float = 0.25):
+    """(patch_vals (k, *box), starts (k, ndim)) sparse view of localized
+    columns, or None when the columns are not localized enough.
+
+    Like :func:`with_patches` but (a) standalone — works on ANY
+    grid-shaped column stack ``(*grid, k)``, e.g. the Woodbury factor
+    Bb = M^{-1} B (Sigma + B^T M^{-1} B)^{-1}, whose columns have EXACT
+    compact support for multicolour sweeps (M^{-1} widens a ball by at
+    most ncolors-1 stencil rings — one ring for red/black; verified
+    numerically, fill ~1e-2 at 32^3) — and (b) device-side: bounding
+    boxes come from per-axis any-nonzero reductions, so only k*ndim
+    scalars cross the host tunnel instead of the full (grid, k) stack
+    (335 MB at 256^3 k=5).  EAGER only (reads concrete scalars)."""
+    import numpy as np
+
+    gshape = cols_grid.shape[:-1]
+    k = cols_grid.shape[-1]
+    d = len(gshape)
+    nz = cols_grid != 0
+    los, his = [], []
+    for ax in range(d):
+        axes = tuple(a for a in range(d) if a != ax)
+        proj = jnp.any(nz, axis=axes)  # (n_ax, k)
+        if not bool(jnp.all(jnp.any(proj, axis=0))):
+            return None  # an empty column
+        idx = jnp.arange(gshape[ax])[:, None]
+        los.append(np.asarray(jnp.min(jnp.where(proj, idx, gshape[ax]), axis=0)))
+        his.append(np.asarray(jnp.max(jnp.where(proj, idx, -1), axis=0)) + 1)
+    ext = [int(max(h[j] - l[j] for j in range(k)) ) for l, h in zip(los, his)]
+    if np.prod(ext) * k > max_fill * np.prod(gshape):
+        return None
+    starts = np.zeros((k, d), np.int32)
+    vals = []
+    for j in range(k):
+        for ax in range(d):
+            starts[j, ax] = min(int(los[ax][j]), gshape[ax] - ext[ax])
+        vals.append(
+            jax.lax.dynamic_slice(
+                cols_grid[..., j], tuple(int(s) for s in starts[j]), ext
+            )
+        )
+    return jnp.stack(vals), jnp.asarray(starts)
+
+
+def patch_apply_add(patch_vals, patch_starts, w, y):
+    """y + sum_j w[j] * column_j, columns given as common-size windows
+    (`column_patches` layout); w may carry trailing chain dims (k, [C]).
+    Sequential window updates (XLA aliases the dus chain) — the apply
+    reads/writes k small boxes instead of k full grids."""
+    k = patch_vals.shape[0]
+    box = patch_vals.shape[1:]
+    nd = len(box)
+    batch = y.shape[nd:]
+    out = y
+    for j in range(k):
+        st = tuple(patch_starts[j]) + (0,) * len(batch)
+        win = jax.lax.dynamic_slice(out, st, box + batch)
+        out = jax.lax.dynamic_update_slice(
+            out, win + _bc(patch_vals[j], win) * w[j], st
+        )
+    return out
 
 
 @pytree_dataclass

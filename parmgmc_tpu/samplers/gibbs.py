@@ -145,6 +145,15 @@ class GibbsSampler:
     # carried so the fused LRC step's B^T x / B w products stay cheap
     patch_vals: Union[jax.Array, None] = None
     patch_starts: Union[jax.Array, None] = None
+    # sparse views of the Woodbury factors Bb_fw/Bb_bw themselves: for
+    # multicolour sweeps M^{-1} widens a ball by <= ncolors-1 stencil
+    # rings, so the columns have EXACT compact support and the per-sweep
+    # correction x -= Bb (B^T x) scatters into k small windows instead
+    # of k full-grid passes (round 4; mc_sor.c:101-112 analogue)
+    Bb_fw_pv: Union[jax.Array, None] = None
+    Bb_fw_ps: Union[jax.Array, None] = None
+    Bb_bw_pv: Union[jax.Array, None] = None
+    Bb_bw_ps: Union[jax.Array, None] = None
 
     # -- construction ------------------------------------------------------
     @staticmethod
@@ -153,13 +162,21 @@ class GibbsSampler:
     ) -> "GibbsSampler":
         assert sweep in ("forward", "backward", "symmetric")
         patch_vals = patch_starts = None
+        Bb_patches = {"fw": None, "bw": None}
         if isinstance(op, LRCOperator):
+            from parmgmc_tpu.operators.lrc import column_patches
+
             base = op.base
             B, sigma_inv = op.B, op.sigma_inv
             Bb_fw = build_lrc_correction(base, B, sigma_inv, omega, "forward")
             Bb_bw = build_lrc_correction(base, B, sigma_inv, omega, "backward")
             sqrt_sigma_inv = jnp.sqrt(sigma_inv)
             patch_vals, patch_starts = op.patch_vals, op.patch_starts
+            if patch_vals is not None and getattr(base, "ndim", 0) >= 2:
+                # localized observations on a structured grid: the
+                # Woodbury factors are exactly window-supported too
+                Bb_patches["fw"] = column_patches(Bb_fw)
+                Bb_patches["bw"] = column_patches(Bb_bw)
         else:
             base = op
             B = sqrt_sigma_inv = Bb_fw = Bb_bw = None
@@ -215,7 +232,27 @@ class GibbsSampler:
             impl=impl,
             patch_vals=patch_vals,
             patch_starts=patch_starts,
+            Bb_fw_pv=None if Bb_patches["fw"] is None else Bb_patches["fw"][0],
+            Bb_fw_ps=None if Bb_patches["fw"] is None else Bb_patches["fw"][1],
+            Bb_bw_pv=None if Bb_patches["bw"] is None else Bb_patches["bw"][0],
+            Bb_bw_ps=None if Bb_patches["bw"] is None else Bb_patches["bw"][1],
         )
+
+    def _bb_apply_sub(self, direction, x, c):
+        """x - Bb_dir c — windowed when the factor's exact-support patch
+        view exists (k small boxes), dense tensordot otherwise."""
+        from parmgmc_tpu.operators.lrc import patch_apply_add
+
+        pv, ps = (
+            (self.Bb_fw_pv, self.Bb_fw_ps)
+            if direction == "forward"
+            else (self.Bb_bw_pv, self.Bb_bw_ps)
+        )
+        if pv is not None:
+            return patch_apply_add(pv, ps, -c, x)
+        Bb = self.Bb_fw if direction == "forward" else self.Bb_bw
+        ndim = self.base.ndim
+        return x - jnp.tensordot(Bb, c, axes=((ndim,), (0,)))
 
     @property
     def grid_shape(self):
@@ -270,11 +307,10 @@ class GibbsSampler:
             btilde = btilde + jnp.tensordot(self.B, w, axes=((ndim,), (0,)))
         x = _op_sweep(self.base, btilde, x, self.omega, direction)
         if self.is_lrc:
-            Bb = self.Bb_fw if direction == "forward" else self.Bb_bw
             ndim = self.base.ndim
             axes = tuple(range(ndim))
             bty = jnp.tensordot(self.B, x, axes=(axes, axes))
-            x = x - jnp.tensordot(Bb, bty, axes=((ndim,), (0,)))
+            x = self._bb_apply_sub(direction, x, bty)
         return x
 
     def step_with_noise(self, x, b, noises):
@@ -354,11 +390,7 @@ class GibbsSampler:
                     sweep=d,
                 )
             if self.is_lrc:
-                Bb = self.Bb_fw if d == "forward" else self.Bb_bw
-                ndim = self.base.ndim
-                x = x - jnp.tensordot(
-                    Bb, lrc_op.bt_apply(x), axes=((ndim,), (0,))
-                )
+                x = self._bb_apply_sub(d, x, lrc_op.bt_apply(x))
         return key, x
 
     def step(self, key, x, b, aux=None):

@@ -524,7 +524,6 @@ class MGMCSampler:
             b_eff = op0.b_apply(wv)
         xpy_raw, rc_raw, sub = self._fused_chain_down(x, b_eff, sub)
         c = op0.bt_apply(xpy_raw) - btx  # = B^T y_raw
-        Bb = s.Bb_fw if s.sweep == "forward" else s.Bb_bw
         H = self.lrc_aux["H"]
         RABb = self.lrc_aux["RABb"]
         cc = w + op0.sigma_inv * (c - H @ c)
@@ -534,11 +533,9 @@ class MGMCSampler:
         )
         sub, sub2 = jax.random.split(sub)
         z1 = self._cycle_keyed(1, rc, sub2)
-        return (
-            xpy_raw
-            - jnp.tensordot(Bb, c, axes=((ndim,), (0,)))
-            + self.transfers[0].prolong(z1)
-        )
+        return s._bb_apply_sub(s.sweep, xpy_raw, c) + self.transfers[
+            0
+        ].prolong(z1)
 
     # -- fused coarse tail: all sub-128-lane levels in one kernel ----------
     def _tail_fused_eligible(self, l: int) -> bool:
@@ -774,7 +771,6 @@ class MGMCSampler:
                 xpy, b_eff, sub, z=zx2, with_xsum=True, with_zsum=True
             )
             c = op0.bt_apply(xpy2) - btx
-            Bb = s.Bb_fw if s.sweep == "forward" else s.Bb_bw
             H = self.lrc_aux["H"]
             cc = w + op0.sigma_inv * (c - H @ c)
             rc = self.ops[1].b_apply_add(
@@ -783,7 +779,7 @@ class MGMCSampler:
                     self.lrc_aux["RABb"], c, axes=((3,), (0,))
                 ),
             )
-            xpy2 = xpy2 - jnp.tensordot(Bb, c, axes=((3,), (0,)))
+            xpy2 = s._bb_apply_sub(s.sweep, xpy2, c)
             sx = jnp.sum(xsum) - self.lrc_aux["Bb_colsum"] @ c
         else:
             xpy2, rc, sub, xsum, zsum = self._fused_chain_down(

@@ -139,17 +139,25 @@ class PatchGibbsSampler:
                 patch.append(tuple(off))
         sq = None
         if impl in ("auto", "fused"):
-            from parmgmc_tpu.kernels.patch_sweep import patch_sweep_supported
+            from parmgmc_tpu.kernels.patch_sweep import (
+                patch_sweep_streaming_supported,
+                patch_sweep_supported,
+            )
 
             # the whole-sweep kernel is Mosaic-only (no interpret
             # routing; its PRNG cannot run in CPU interpret anyway), so
-            # even an explicit impl="fused" downgrades off-TPU
+            # even an explicit impl="fused" downgrades off-TPU.  Grids
+            # past the VMEM-resident window route to the round-4
+            # HBM-streaming kernel (fused_patch_sweep_sqfd dispatches).
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
             if (
                 on_tpu
                 and op.dtype == jnp.float32
                 and op.radius + 3 == 5
-                and patch_sweep_supported(op.grid_shape)
+                and (
+                    patch_sweep_supported(op.grid_shape)
+                    or patch_sweep_streaming_supported(op.grid_shape)
+                )
             ):
                 sq = detect_squared_fd(op)
             impl = "fused" if sq is not None else "lax"

@@ -58,3 +58,70 @@ def test_fused_patch_sweep_matches_lax():
     want = smp.step_with_noise(x, b, zeros)
     err = float(jnp.abs(got - want).max() / jnp.abs(want).max())
     assert err < 1e-4, err
+
+
+def test_streamed_patch_sweep_matches_resident():
+    """Round-4 HBM-streaming kernel: bitwise-identical to the resident
+    kernel deterministically (any group size; row groups of a colour
+    are independent), with and without a b stream."""
+    from parmgmc_tpu.kernels.patch_sweep import (
+        fused_patch_sweep_sqfd_streamed,
+    )
+
+    op = squared_shifted_laplace_fd(GRID, 1.3, dtype=jnp.float32)
+    p = detect_squared_fd(op)
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, GRID, jnp.float32)
+    b = jax.random.normal(jax.random.fold_in(key, 1), GRID, jnp.float32)
+    res = fused_patch_sweep_sqfd(
+        x, b, p[0], p[1], 0, 0, interpret=True, with_noise=False
+    )
+    st = fused_patch_sweep_sqfd_streamed(
+        x, b, p[0], p[1], 0, 0, interpret=True, with_noise=False
+    )
+    assert float(jnp.abs(res - st).max()) == 0.0
+    res0 = fused_patch_sweep_sqfd(
+        x, None, p[0], p[1], 0, 0, interpret=True, with_noise=False
+    )
+    st0 = fused_patch_sweep_sqfd_streamed(
+        x, None, p[0], p[1], 0, 0, interpret=True, with_noise=False
+    )
+    assert float(jnp.abs(res0 - st0).max()) == 0.0
+    # b=None == explicit zeros
+    assert float(jnp.abs(res0 - fused_patch_sweep_sqfd(
+        x, jnp.zeros_like(x), p[0], p[1], 0, 0,
+        interpret=True, with_noise=False)).max()) == 0.0
+
+
+def test_streaming_covers_256_and_matches_lax_on_reduced_tc():
+    """The streaming gate covers 256^3 (the VERDICT item-3 target) and
+    a reduced group size still reproduces the lax sweep exactly."""
+    from parmgmc_tpu.kernels.patch_sweep import (
+        _streaming_tc,
+        fused_patch_sweep_sqfd_streamed,
+        patch_sweep_streaming_supported,
+    )
+
+    assert patch_sweep_streaming_supported((256, 256, 256))
+    assert not patch_sweep_supported((256, 256, 256))
+    assert _streaming_tc((256, 256, 256)) >= 1
+
+    shape = (16, 256, 256)
+    assert _streaming_tc(shape) < 8  # reduced groups actually exercised
+    op = squared_shifted_laplace_fd(shape, 1.3, dtype=jnp.float32)
+    p = detect_squared_fd(op)
+    smp = PatchGibbsSampler.create(op, impl="lax")
+    key = jax.random.PRNGKey(4)
+    x = jax.random.normal(key, shape, jnp.float32)
+    b = jax.random.normal(jax.random.fold_in(key, 1), shape, jnp.float32)
+    got = fused_patch_sweep_sqfd_streamed(
+        x, b, p[0], p[1], 0, 0, interpret=True, with_noise=False
+    )
+    zeros = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s, jnp.float32),
+        smp.noise_shapes(),
+        is_leaf=lambda s: isinstance(s, tuple),
+    )
+    want = smp.step_with_noise(x, b, zeros)
+    err = float(jnp.abs(got - want).max() / jnp.abs(want).max())
+    assert err < 1e-4, err
