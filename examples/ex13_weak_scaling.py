@@ -15,6 +15,7 @@ on virtual devices (functional, not a performance measurement):
 """
 
 import argparse
+import math
 import os
 import sys
 
@@ -127,6 +128,68 @@ def run_mesh_config(n_dev: int, n_refine: int, n_samples: int, kappa: float):
     )
 
 
+def run_mesh_dd_config(n_dev: int, n_refine: int, n_samples: int, kappa: float):
+    """Unstructured weak scaling under DOMAIN DECOMPOSITION (round 4):
+    the mesh GROWS with the device count (one refinement per 4x
+    devices, keeping ~nodes/device constant — the reference's wrench
+    ex13 semantics) and the row-partitioned sharded MGMC of
+    parallel/graph_sharded.py samples it: level 0 sharded with
+    per-colour ghost collectives, coarse levels replicated."""
+    from parmgmc_tpu.models.mesh import (
+        matern_precision_mesh,
+        refine,
+        unit_square_mesh,
+    )
+    from parmgmc_tpu.operators.graph import from_csr
+    from parmgmc_tpu.parallel.graph_sharded import (
+        make_sharded_graph_mgmc_step,
+        to_local,
+    )
+
+    pts, cells = unit_square_mesh(9)
+    extra = max(0, round(math.log(max(n_dev, 1), 4)))
+    for _ in range(n_refine + extra):
+        pts, cells = refine(pts, cells)
+    A = matern_precision_mesh(pts, cells, kappa)
+    op = from_csr(A, dtype=jnp.float32)
+    smp = MGMCSampler.create(op, coarsest_size=64)
+    mesh = make_mesh((n_dev,), axis_names=("x",))
+    step, spec, sharding = make_sharded_graph_mgmc_step(
+        smp, mesh, coords=pts
+    )
+    bl = jax.device_put(
+        to_local(spec, jnp.zeros((op.n,), jnp.float32)), sharding
+    )
+    x0 = jax.device_put(
+        jnp.zeros((spec.n_shards, spec.n_local), jnp.float32), sharding
+    )
+    mask = spec.own_mask / jnp.sum(spec.own_mask)
+
+    def body(carry, _):
+        key, x = carry
+        key, x = step(key, x, bl)
+        return (key, x), jnp.sum(x * mask)  # global mean QOI
+
+    run = jax.jit(
+        lambda key, x: jax.lax.scan(body, (key, x), None, length=n_samples)
+    )
+    (key, x), q = run(jax.random.PRNGKey(0), x0)
+    _ = float(jnp.sum(x))
+    t0 = time.perf_counter()
+    (key, x), q = run(key, x)
+    q = np.asarray(q)
+    wall = time.perf_counter() - t0
+    tau, valid = iact(q)
+    tau = max(float(tau), 1.0)
+    tps = wall / n_samples * 1000
+    print(
+        f"devices={n_dev:3d} (domain-decomposed) dofs={op.n:>9,} "
+        f"local={spec.n_local:>7,} ghosts<={spec.bmax:>5,} "
+        f"time/sample={tps:8.2f} ms  IACT={tau:5.2f}{'' if valid else '*'} "
+        f"ESS/sec={1000.0 / (tau * tps):8.1f}"
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
@@ -139,13 +202,21 @@ def main():
         help="mesh problem, chains-over-devices scaling (wrench-style)",
     )
     ap.add_argument("--refine", type=int, default=1, help="mesh refinements")
+    ap.add_argument(
+        "--domain-decompose",
+        action="store_true",
+        help="unstructured weak scaling via row-partitioned sharded "
+        "MGMC (mesh grows with devices) instead of chain parallelism",
+    )
     args = ap.parse_args()
     avail = len(jax.devices())
     for nd in args.devices:
         if nd > avail:
             print(f"devices={nd}: skipped (only {avail} available)")
             continue
-        if args.unstructured:
+        if args.unstructured and args.domain_decompose:
+            run_mesh_dd_config(nd, args.refine, args.samples, args.kappa)
+        elif args.unstructured:
             run_mesh_config(nd, args.refine, args.samples, args.kappa)
         else:
             run_config(nd, args.base, args.samples, args.kappa)
