@@ -110,7 +110,12 @@ def main(posterior: bool = False):
         runner = lambda smp, s, bb, n: sample_chain(
             smp, s, bb, n, extract=qoi
         )
-    run_time = jax.jit(lambda smp, s, bb: runner(smp, s, bb, N_TIME))
+    # donate the chain state: at 1024^3 the un-donated (x, carries)
+    # copy costs an extra ~5 GB of HBM, which is the difference between
+    # fitting and ResourceExhausted on a 16 GB chip
+    run_time = jax.jit(
+        lambda smp, s, bb: runner(smp, s, bb, N_TIME), donate_argnums=(1,)
+    )
 
     st = ChainState(
         x=jnp.zeros(op.grid_shape, DTYPE), key=jax.random.PRNGKey(0)
@@ -138,7 +143,9 @@ def main(posterior: bool = False):
     # are scalars-per-step, so the fence cost is negligible.
     n_chunks = max(1, int(np.ceil(dt * N_IACT / 45.0)))
     chunk = int(np.ceil(N_IACT / n_chunks))
-    run_iact = jax.jit(lambda smp, s, bb: runner(smp, s, bb, chunk))
+    run_iact = jax.jit(
+        lambda smp, s, bb: runner(smp, s, bb, chunk), donate_argnums=(1,)
+    )
     qs = []
     for _ in range(n_chunks):
         st, q = run_iact(sampler, st, b)
