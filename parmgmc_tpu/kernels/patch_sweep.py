@@ -60,7 +60,26 @@ __all__ = [
     "fused_patch_sweep_sqfd_streamed",
     "patch_sweep_supported",
     "patch_sweep_streaming_supported",
+    "streaming_enabled",
 ]
+
+# The round-4 streaming kernel crashed the TPU worker at real lowering
+# (VERDICT r4 #1) — its machinery (ANY-space output + read-from-output
+# DMA + HBM->HBM seed copy) is unproven on this toolchain.  Until the
+# on-chip selftest passes 3/3, production routing is opt-in only.
+import os as _os
+
+_STREAMING_VALIDATED = False  # flip when bench.py --selftest-patch is 3/3 green
+
+
+def streaming_enabled() -> bool:
+    """May PatchGibbsSampler.create auto-route past-resident grids to
+    the HBM-streaming kernel?  Off until on-chip validated (or forced
+    via PARMGMC_STREAMED_PATCH=1/0)."""
+    env = _os.environ.get("PARMGMC_STREAMED_PATCH")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return _STREAMING_VALIDATED
 
 # member offsets of a vertex star (center first) — must match
 # PatchGibbsSampler.create's ordering

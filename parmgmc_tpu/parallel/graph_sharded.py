@@ -54,6 +54,7 @@ __all__ = [
     "partition_graph_operator",
     "to_local",
     "to_global",
+    "rows_to_local",
     "sharded_sor_sweep",
     "sharded_apply",
     "make_sharded_graph_gibbs_step",
@@ -218,6 +219,18 @@ def to_global(spec: ShardedGraphOperator, vl, n: int):
     return out.at[gid].add(flat * _bc(mask, flat))
 
 
+def rows_to_local(spec: ShardedGraphOperator, M):
+    """(n, k) row matrix -> (S, L, k) row-sharded blocks (padding rows
+    zero).  Used for the LRC pieces B / Bb whose rows live on the fine
+    grid: shard-local products then need only one psum per k-vector
+    (the Woodbury analogue of the reference's MPI dot products,
+    ``/root/reference/src/woodbury.c:259-286``)."""
+    out = M[spec.own_gid.reshape(-1)].reshape(
+        (spec.n_shards, spec.n_local, M.shape[-1])
+    )
+    return out * spec.own_mask[..., None]
+
+
 # -- shard-local compute (runs INSIDE shard_map; leading S axis == 1) ------
 def _gather_exports(spec, x_loc, axis_name):
     """(L + S*bmax, [C]) extended vector: local values + all shards'
@@ -341,19 +354,46 @@ def make_sharded_graph_mgmc_step(
     step(key, x_loc, b_loc) -> (key, x_loc').  Deterministically (zero
     noises) the cycle equals the single-device ``step_with_noise``; the
     keyed path draws level-0 noise per shard and coarse noise from the
-    SHARED key (identical replicated draws)."""
+    SHARED key (identical replicated draws).
+
+    LRC (posterior) hierarchies are supported: a level-0
+    ``LRCOperator`` over a GraphOperator base row-shards B and the
+    smoother's Woodbury factors Bb (``rows_to_local``); each half-sweep
+    adds the replicated low-rank RHS noise B sqrt(Sigma^{-1}) eta2 and
+    applies the post-correction x <- x - Bb (B^T x) with B^T x as one
+    shard-local rank-k product + psum — the reference weak-scales the
+    same construction to 512 ranks (``/root/reference/examples/
+    ex13.py:128-185``, ``src/woodbury.c:259-286``).  Coarse LRC levels
+    ride the replicated sub-sampler unchanged (per-level B_c)."""
+    from parmgmc_tpu.operators.lrc import LRCOperator
     from parmgmc_tpu.samplers.mgmc import MGMCSampler
 
     op0 = sampler.ops[0]
-    assert isinstance(op0, GraphOperator), "graph hierarchies only"
+    is_lrc = isinstance(op0, LRCOperator)
+    base0 = op0.base if is_lrc else op0
+    assert isinstance(base0, GraphOperator), "graph hierarchies only"
     assert sampler.gamma == 1, "V-cycles only (gamma=1)"
     S = mesh.shape[axis_name]
-    spec = partition_graph_operator(op0, S, coords=coords)
+    spec = partition_graph_operator(base0, S, coords=coords)
     s0 = sampler.smoothers[0]
     om = s0.omega
     sweep = s0.sweep
     nsc = jnp.sqrt((2.0 - om) / om) * jnp.sqrt(spec.diag)
     batch = (n_chains,) if n_chains else ()
+
+    if is_lrc:
+        assert s0.is_lrc and s0.Bb_fw is not None
+        k_lr = op0.B.shape[-1]
+        lrc_consts = (
+            rows_to_local(spec, op0.B),
+            rows_to_local(spec, s0.Bb_fw),
+            rows_to_local(spec, s0.Bb_bw),
+            op0.sigma_inv,
+            s0.sqrt_sigma_inv,
+        )
+    else:
+        k_lr = 0
+        lrc_consts = ()
 
     # replicated sub-sampler for levels 1..: same smoothers/coarse
     sub_sampler = MGMCSampler(
@@ -409,20 +449,53 @@ def make_sharded_graph_mgmc_step(
     n_pre, n_post = sampler.n_pre, sampler.n_post
     dirs = ["forward", "backward"] if sweep == "symmetric" else [sweep]
 
-    def gibbs_step_local(spec_l, nsc_l, key, x_loc, rhs, ctr):
+    def op_apply_local(spec_l, lrc_l, x_loc):
+        """A x (posterior A for LRC) on the sharded layout."""
+        ax = sharded_apply(spec_l, x_loc, axis_name)
+        if not is_lrc:
+            return ax
+        B_l = lrc_l[0][0]  # (L, k)
+        bty = jax.lax.psum(
+            jnp.tensordot(B_l, x_loc, axes=((0,), (0,))), axis_name
+        )  # (k, [C])
+        w = _bc(lrc_l[3], bty) * bty  # Sigma^{-1} B^T x
+        return ax + jnp.tensordot(B_l, w, axes=((1,), (0,)))
+
+    def gibbs_step_local(spec_l, nsc_l, lrc_l, kl, ksh, x_loc, rhs, ctr):
         """One level-0 Gibbs step (matches GibbsSampler.step_with_noise:
-        fresh noise per half-sweep)."""
+        fresh noise per half-sweep).  LRC: the low-rank RHS noise draw
+        eta2 comes from the SHARED key (identical on every shard), and
+        the Woodbury post-correction runs shard-local rank-k + psum."""
         for i, d in enumerate(dirs):
             if with_noise:
                 eta = jax.random.normal(
-                    jax.random.fold_in(key, 2 * ctr + i),
+                    jax.random.fold_in(kl, 2 * ctr + i),
                     (spec_l.n_local,) + batch,
                     x_loc.dtype,
                 )
             else:
                 eta = jnp.zeros((spec_l.n_local,) + batch, x_loc.dtype)
             btilde = rhs + _bc(nsc_l[0], eta) * eta
+            if is_lrc:
+                B_l = lrc_l[0][0]
+                if with_noise:
+                    eta2 = jax.random.normal(
+                        jax.random.fold_in(ksh, 2 * ctr + i),
+                        (k_lr,) + batch,
+                        x_loc.dtype,
+                    )
+                else:
+                    eta2 = jnp.zeros((k_lr,) + batch, x_loc.dtype)
+                w = _bc(lrc_l[4], eta2) * eta2  # sqrt(Sigma^{-1}) eta2
+                btilde = btilde + jnp.tensordot(B_l, w, axes=((1,), (0,)))
             x_loc = sharded_sor_sweep(spec_l, btilde, x_loc, om, axis_name, d)
+            if is_lrc:
+                B_l = lrc_l[0][0]
+                Bb_l = lrc_l[1][0] if d == "forward" else lrc_l[2][0]
+                bty = jax.lax.psum(
+                    jnp.tensordot(B_l, x_loc, axes=((0,), (0,))), axis_name
+                )
+                x_loc = x_loc - jnp.tensordot(Bb_l, bty, axes=((1,), (0,)))
         return x_loc
 
     def coarse_cycle(rc, key):
@@ -435,7 +508,7 @@ def make_sharded_graph_mgmc_step(
         )
         return sub_sampler._cycle(0, rc, zeros)
 
-    def local_step(spec_l, nsc_l, ptv_l, ptc_l, pv_l, pc_l, key, x_loc, b_loc):
+    def local_step(spec_l, nsc_l, ptv_l, ptc_l, pv_l, pc_l, lrc_l, key, x_loc, b_loc):
         # (the replicated sub-sampler is a closure constant: coarse mesh
         # levels are small, and every shard runs the identical program)
         x_loc = x_loc[0]
@@ -444,14 +517,15 @@ def make_sharded_graph_mgmc_step(
         pv_s, pc_s = pv_l[0], pc_l[0]
         idx = jax.lax.axis_index(axis_name)
         kl = jax.random.fold_in(key, idx + 1)  # per-shard level-0 stream
+        ksh = jax.random.fold_in(key, 0)  # shared (replicated) stream
         # chain residual r = b - A x
-        r = b_loc - sharded_apply(spec_l, x_loc, axis_name)
+        r = b_loc - op_apply_local(spec_l, lrc_l, x_loc)
         # level-0 pre-smooth from zero
         y = jnp.zeros_like(x_loc)
         for i in range(n_pre):
-            y = gibbs_step_local(spec_l, nsc_l, kl, y, r, i)
+            y = gibbs_step_local(spec_l, nsc_l, lrc_l, kl, ksh, y, r, i)
         # restricted residual: per-shard partial P^T + psum
-        rr = r - sharded_apply(spec_l, y, axis_name)
+        rr = r - op_apply_local(spec_l, lrc_l, y)
         rr = rr * _bc(spec_l.own_mask[0], rr)
         g = rr[ptc_s]  # (nc, wt, [C])
         rc = jax.lax.psum(jnp.sum(_bc(ptv_s, g) * g, axis=1), axis_name)
@@ -462,16 +536,17 @@ def make_sharded_graph_mgmc_step(
         y = y + jnp.sum(_bc(pv_s, gz) * gz, axis=1)
         # level-0 post-smooth (rhs = the cycle-local r, as in _cycle)
         for i in range(n_post):
-            y = gibbs_step_local(spec_l, nsc_l, kl, y, r, n_pre + i)
+            y = gibbs_step_local(spec_l, nsc_l, lrc_l, kl, ksh, y, r, n_pre + i)
         return (x_loc + y)[None]
 
     pspec = P(axis_name)
     specs3 = jax.tree_util.tree_map(lambda _: pspec, spec)
+    lrc_specs = (pspec, pspec, pspec, P(), P()) if is_lrc else ()
     smap = jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(
-            specs3, pspec, pspec, pspec, pspec, pspec, P(),
+            specs3, pspec, pspec, pspec, pspec, pspec, lrc_specs, P(),
             pspec, pspec,
         ),
         out_specs=pspec,
@@ -481,7 +556,7 @@ def make_sharded_graph_mgmc_step(
     @jax.jit
     def step(key, x_loc, b_loc):
         key, sub = jax.random.split(key)
-        return key, smap(spec, nsc, ptv, ptc, pv, pc, sub, x_loc, b_loc)
+        return key, smap(spec, nsc, ptv, ptc, pv, pc, lrc_consts, sub, x_loc, b_loc)
 
     sharding = NamedSharding(mesh, pspec)
     return step, spec, sharding

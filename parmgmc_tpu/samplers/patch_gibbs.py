@@ -142,6 +142,7 @@ class PatchGibbsSampler:
             from parmgmc_tpu.kernels.patch_sweep import (
                 patch_sweep_streaming_supported,
                 patch_sweep_supported,
+                streaming_enabled,
             )
 
             # the whole-sweep kernel is Mosaic-only (no interpret
@@ -156,7 +157,10 @@ class PatchGibbsSampler:
                 and op.radius + 3 == 5
                 and (
                     patch_sweep_supported(op.grid_shape)
-                    or patch_sweep_streaming_supported(op.grid_shape)
+                    or (
+                        streaming_enabled()
+                        and patch_sweep_streaming_supported(op.grid_shape)
+                    )
                 )
             ):
                 sq = detect_squared_fd(op)
@@ -447,9 +451,10 @@ class PatchGibbsSampler:
         return None
 
     def step(self, key, x, b, aux=None):
-        if b is None:  # zero-RHS (prior) convention
-            b = jnp.zeros_like(x)
         if self.impl == "fused" and self.sq_fd_params is not None:
+            # b=None flows through: the fused kernels drop the whole b
+            # HBM stream for prior sampling (with_b=False), bit-identical
+            # to explicit zeros — the repo-wide zero-RHS convention.
             from parmgmc_tpu.kernels.patch_sweep import fused_patch_sweep_sqfd
 
             key, k1, k2 = jax.random.split(key, 3)
@@ -464,6 +469,8 @@ class PatchGibbsSampler:
                 stp,
             )
             return key, x
+        if b is None:  # zero-RHS (prior) convention
+            b = jnp.zeros_like(x)
         key, sub = jax.random.split(key)
         noises = _draw(sub, self.noise_shapes(), x.dtype)
         return key, self.step_with_noise(x, b, noises)

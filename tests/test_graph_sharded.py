@@ -157,6 +157,93 @@ def test_sharded_gibbs_chain_statistics(mesh_problem):
     assert rel < 0.05, rel
 
 
+def _lrc_mesh_sampler(op, k=3, seed=11):
+    """MGMC posterior sampler over a synthetic localized LRC on the mesh
+    (internal ordering, like MaternMeshSampler's ball observations)."""
+    from parmgmc_tpu.operators.lrc import LRCOperator
+    from parmgmc_tpu.samplers.mgmc import MGMCSampler
+
+    rng = np.random.default_rng(seed)
+    B = np.zeros((op.n, k))
+    for j in range(k):
+        sup = rng.choice(op.n, size=7, replace=False)
+        B[sup, j] = rng.standard_normal(7)
+    lrc = LRCOperator(
+        base=op,
+        B=jnp.asarray(B),
+        sigma_inv=jnp.asarray(rng.uniform(0.5, 2.0, k)),
+    )
+    return MGMCSampler.create(lrc, coarsest_size=16)
+
+
+def test_sharded_mgmc_lrc_deterministic_parity(mesh_problem):
+    """Posterior (LRC) MGMC under unstructured domain decomposition
+    equals the single-device cycle exactly (zero noises) — the graph
+    analogue of parallel/fused.py's sharded LRC (ex13.py:128-185)."""
+    op, mesh, spec, pts = mesh_problem
+    smp = _lrc_mesh_sampler(op)
+    assert smp.n_levels >= 3
+    step, spec2, sharding = make_sharded_graph_mgmc_step(
+        smp, mesh, coords=pts, with_noise=False
+    )
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal(op.n))
+    b = jnp.asarray(rng.standard_normal(op.n))
+    xl = jax.device_put(to_local(spec2, x), sharding)
+    bl = jax.device_put(to_local(spec2, b), sharding)
+    _, out = step(jax.random.PRNGKey(0), xl, bl)
+    got = to_global(spec2, out, op.n)
+
+    zeros = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s, jnp.float64),
+        smp.noise_shapes(),
+        is_leaf=lambda l: isinstance(l, tuple),
+    )
+    want = smp.step_with_noise(x, b, zeros)
+    err = float(jnp.abs(got - want).max())
+    assert err < 1e-11, err
+
+
+def test_sharded_mgmc_lrc_statistics(mesh_problem):
+    """Keyed sharded posterior chain targets N(A_post^{-1} b, A_post^{-1}):
+    mean converges under the sharded LRC noise scheme (shared low-rank
+    draws + per-shard field noise)."""
+    op, mesh, spec, pts = mesh_problem
+    smp = _lrc_mesh_sampler(op)
+    step, spec2, sharding = make_sharded_graph_mgmc_step(
+        smp, mesh, coords=pts, with_noise=True
+    )
+    b = jnp.ones((op.n,), jnp.float64)
+    bl = jax.device_put(to_local(spec2, b), sharding)
+    x0 = jax.device_put(
+        jnp.zeros((spec2.n_shards, spec2.n_local), jnp.float64), sharding
+    )
+
+    def body(carry, i):
+        key, x, mean = carry
+        key, x = step(key, x, bl)
+        mean = mean + (x - mean) / (i + 1.0)
+        return (key, x, mean), None
+
+    run = jax.jit(
+        lambda: jax.lax.scan(
+            body,
+            (jax.random.PRNGKey(6), x0, jnp.zeros_like(x0)),
+            jnp.arange(4_000, dtype=jnp.float64),
+        )
+    )
+    (_, _, mean), _ = run()
+    got = np.asarray(to_global(spec2, mean, op.n))
+    from parmgmc_tpu.operators.lrc import LRCOperator
+
+    lrc = smp.fine_op
+    assert isinstance(lrc, LRCOperator)
+    dense = np.asarray(lrc.to_dense())
+    ex = np.linalg.solve(dense, np.ones(op.n))
+    rel = np.linalg.norm(got - ex) / np.linalg.norm(ex)
+    assert rel < 0.05, rel
+
+
 def test_sharded_mgmc_multichain(mesh_problem):
     """Domain decomposition composes with the trailing chain axis."""
     op, mesh, spec, pts = mesh_problem
