@@ -620,7 +620,10 @@ def selftest_patch():
 
     # (3) round-4 STREAMING kernel: deterministic A/B vs the resident
     # kernel on-chip, then throughput at 256^3 (past the resident VMEM
-    # ceiling — the VERDICT item-3 target size).
+    # ceiling — the VERDICT item-3 target size).  The A/B grid has
+    # N1 % 8 == 0: the streaming kernel's manual window DMAs fault the
+    # TPU at unaligned sublane extents (probe_streamed_dma5, r5), so
+    # such shapes are gated out of streaming support entirely.
     from parmgmc_tpu.kernels.patch_sweep import (
         fused_patch_sweep_sqfd,
         fused_patch_sweep_sqfd_streamed,
@@ -628,10 +631,13 @@ def selftest_patch():
     )
     from parmgmc_tpu.samplers.patch_gibbs import detect_squared_fd
 
-    p = detect_squared_fd(op)
+    GRID_AB = (16, 16, 128)
+    op_ab = squared_shifted_laplace_fd(GRID_AB, 40.0, dtype=jnp.float32)
+    p = detect_squared_fd(op_ab)
+    assert not patch_sweep_streaming_supported(GRID)  # N1=10: gated out
     key = jax.random.PRNGKey(7)
-    xs = jax.random.normal(key, GRID, jnp.float32)
-    bs = jax.random.normal(jax.random.fold_in(key, 1), GRID, jnp.float32)
+    xs = jax.random.normal(key, GRID_AB, jnp.float32)
+    bs = jax.random.normal(jax.random.fold_in(key, 1), GRID_AB, jnp.float32)
     fr = jax.jit(lambda x_, b_: fused_patch_sweep_sqfd(
         x_, b_, p[0], p[1], 3, 4, with_noise=False))
     fs = jax.jit(lambda x_, b_: fused_patch_sweep_sqfd_streamed(
@@ -642,6 +648,7 @@ def selftest_patch():
 
     N = 256
     assert patch_sweep_streaming_supported((N, N, N))
+    os.environ["PARMGMC_STREAMED_PATCH"] = "1"  # selftest IS the gate
     opN = squared_shifted_laplace_fd((N, N, N), 1.0, dtype=jnp.float32)
     smpN = PatchGibbsSampler.create(opN)
     assert smpN.impl == "fused", "256^3 should route to the streaming kernel"

@@ -168,6 +168,17 @@ def main():
         print(f"Time per sample [ms, aggregate]: {tps:.4f}")
         print(f"IACT (mean over chains): {tau:.3f}"
               f"{'' if valid else ' (window short)'}")
+        # tau transparency (bench.py's tau_sections analogue): the
+        # chain-mean tau over three half-windows of the trace — the
+        # single-window IACT estimate swings with the section at short
+        # windows (BENCH_NOTES 2026-08-19), so a headline number is
+        # only trustworthy when the sections agree
+        m = q.shape[1]
+        secs = []
+        for lo, hi in ((0, m // 2), (m // 4, 3 * m // 4), (m // 2, m)):
+            t_s, _ = iact(q[:, lo:hi])
+            secs.append(round(float(np.maximum(t_s, 1.0).mean()), 3))
+        print(f"tau_sections (half-windows, chain mean): {secs}")
         print(f"Time per independent sample [ms]: {tau * tps:.4f}")
     else:
         # burn-in
@@ -182,6 +193,12 @@ def main():
         tps = wall / args.samples * 1000
         print(f"Time per sample [ms]: {tps:.4f}")
         print(f"IACT: {tau:.3f}{'' if valid else ' (window short)'}")
+        m = q.shape[0]
+        secs = []
+        for lo, hi in ((0, m // 2), (m // 4, 3 * m // 4), (m // 2, m)):
+            t_s, _ = iact(q[lo:hi])
+            secs.append(round(max(float(t_s), 1.0), 3))
+        print(f"tau_sections (half-windows): {secs}")
         print(f"Time per independent sample [ms]: {tau * tps:.4f}")
 
     if args.anchor_ranks > 0:

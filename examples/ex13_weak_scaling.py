@@ -128,38 +128,59 @@ def run_mesh_config(n_dev: int, n_refine: int, n_samples: int, kappa: float):
     )
 
 
-def run_mesh_dd_config(n_dev: int, n_refine: int, n_samples: int, kappa: float):
-    """Unstructured weak scaling under DOMAIN DECOMPOSITION (round 4):
-    the mesh GROWS with the device count (one refinement per 4x
-    devices, keeping ~nodes/device constant — the reference's wrench
-    ex13 semantics) and the row-partitioned sharded MGMC of
-    parallel/graph_sharded.py samples it: level 0 sharded with
-    per-colour ghost collectives, coarse levels replicated."""
-    from parmgmc_tpu.models.mesh import (
-        matern_precision_mesh,
-        refine,
-        unit_square_mesh,
-    )
-    from parmgmc_tpu.operators.graph import from_csr
+def run_mesh_dd_config(
+    n_dev: int,
+    n_refine: int,
+    n_samples: int,
+    kappa: float,
+    posterior: bool = False,
+    mesh_file: str = "wrench",
+):
+    """Unstructured weak scaling under DOMAIN DECOMPOSITION on the 3D
+    wrench (round 5): the mesh GROWS with the device count (one
+    refinement per 8x devices — 3D refinement multiplies nodes ~8x, so
+    nodes/device stays ~constant, the reference's ex13 semantics on the
+    same geometry, ``/root/reference/examples/ex13.py:80-87``) and the
+    row-partitioned sharded MGMC of parallel/graph_sharded.py samples
+    it: level 0 sharded with per-colour NEIGHBOR-WISE ghost exchange
+    (ppermute; ``mc_sor.c:152-214``), coarse levels replicated.
+
+    ``--posterior`` attaches ball-average observations and samples the
+    LRC posterior under the same decomposition — the reference's MATLRC
+    weak-scaling configuration (``ex13.py:128-185``)."""
+    from parmgmc_tpu.models.matern import MaternMeshSampler
+    from parmgmc_tpu.models.mesh import mesh_path, read_gmsh
     from parmgmc_tpu.parallel.graph_sharded import (
         make_sharded_graph_mgmc_step,
         to_local,
     )
 
-    pts, cells = unit_square_mesh(9)
-    extra = max(0, round(math.log(max(n_dev, 1), 4)))
-    for _ in range(n_refine + extra):
-        pts, cells = refine(pts, cells)
-    A = matern_precision_mesh(pts, cells, kappa)
-    op = from_csr(A, dtype=jnp.float32)
-    smp = MGMCSampler.create(op, coarsest_size=64)
+    extra = max(0, round(math.log(max(n_dev, 1), 8)))
+    obs = None
+    if posterior:
+        pts0, _ = read_gmsh(mesh_path(mesh_file))
+        lo, hi = pts0.min(0), pts0.max(0)
+        rel = np.array([[0.25, 0.5, 0.5], [0.5, 0.5, 0.5], [0.75, 0.5, 0.5]])
+        coords = lo + rel * (hi - lo)
+        radii = np.full(3, 0.12 * float(np.linalg.norm(hi - lo)))
+        obs = dict(
+            sigma2=0.1, coords=coords, radii=radii, values=[1.0, -1.0, 2.0]
+        )
+    ms = MaternMeshSampler(
+        mesh_file=mesh_file,
+        kappa=kappa,
+        refinements=n_refine + extra,
+        dtype=jnp.float32,
+        observations=obs,
+        coarsest_size=64,
+    )
+    op = ms.op
+    smp = ms.sampler
     mesh = make_mesh((n_dev,), axis_names=("x",))
     step, spec, sharding = make_sharded_graph_mgmc_step(
-        smp, mesh, coords=pts
+        smp, mesh, coords=ms.dof_points
     )
-    bl = jax.device_put(
-        to_local(spec, jnp.zeros((op.n,), jnp.float32)), sharding
-    )
+    bl = jax.device_put(to_local(spec, ms.b), sharding)
     x0 = jax.device_put(
         jnp.zeros((spec.n_shards, spec.n_local), jnp.float32), sharding
     )
@@ -182,9 +203,15 @@ def run_mesh_dd_config(n_dev: int, n_refine: int, n_samples: int, kappa: float):
     tau, valid = iact(q)
     tau = max(float(tau), 1.0)
     tps = wall / n_samples * 1000
+    # ghost traffic: O(neighbors) received rows vs the O(S) all_gather
+    ghosts = spec.ghost_rows_received
     print(
-        f"devices={n_dev:3d} (domain-decomposed) dofs={op.n:>9,} "
-        f"local={spec.n_local:>7,} ghosts<={spec.bmax:>5,} "
+        f"devices={n_dev:3d} ({'posterior ' if posterior else ''}"
+        f"domain-decomposed {mesh_file}) dofs={op.n:>9,} "
+        f"local={spec.n_local:>7,} "
+        f"ghost-rows/exchange={ghosts:>6,} "
+        f"(allgather would be {spec.n_shards * spec.bmax:>6,}; "
+        f"shifts={list(spec.nbr_shifts)}) "
         f"time/sample={tps:8.2f} ms  IACT={tau:5.2f}{'' if valid else '*'} "
         f"ESS/sec={1000.0 / (tau * tps):8.1f}"
     )
@@ -208,6 +235,15 @@ def main():
         help="unstructured weak scaling via row-partitioned sharded "
         "MGMC (mesh grows with devices) instead of chain parallelism",
     )
+    ap.add_argument(
+        "--posterior",
+        action="store_true",
+        help="with --domain-decompose: sample the LRC posterior "
+        "(ball observations) under the decomposition (ex13.py:128-185)",
+    )
+    ap.add_argument(
+        "--mesh", default="wrench", help="mesh asset for --domain-decompose"
+    )
     args = ap.parse_args()
     avail = len(jax.devices())
     for nd in args.devices:
@@ -215,7 +251,10 @@ def main():
             print(f"devices={nd}: skipped (only {avail} available)")
             continue
         if args.unstructured and args.domain_decompose:
-            run_mesh_dd_config(nd, args.refine, args.samples, args.kappa)
+            run_mesh_dd_config(
+                nd, args.refine, args.samples, args.kappa,
+                posterior=args.posterior, mesh_file=args.mesh,
+            )
         elif args.unstructured:
             run_mesh_config(nd, args.refine, args.samples, args.kappa)
         else:

@@ -7,7 +7,9 @@ production `make_sharded_mgmc_step` over a 1-device mesh — every
 shard_map boundary, halo ppermute (self-loop), per-shard kernel split
 and replicated-tail pass still executes, with zero actual ICI traffic
 — and compares ms/cycle against the unsharded flagship step on the
-same 256^3 / 512^3 operators.
+same 256^3 / 512^3 operators (pass sizes as argv to probe others,
+e.g. 768 — VERDICT r4 item 6 asks whether per-shard blocks re-enter
+the whole-plane kernel regime at 768^3/1024^3 under sharding).
 
     sharded(1 dev) / unsharded = the pure machinery overhead
     projected(n dev) = sharded_glue + kernel_time/n + tail (replicated)
@@ -36,7 +38,8 @@ def force(v):
 
 
 def main():
-    for N in (256, 512):
+    sizes = tuple(int(a) for a in sys.argv[1:]) or (256, 512)
+    for N in sizes:
         op = gmrf_3d(N, kappa=1.0, dtype=jnp.float32)
         smp = MGMCSampler.create(
             op, n_pre=1, n_post=0, coarsest_size=128, coarsening="aggregate"

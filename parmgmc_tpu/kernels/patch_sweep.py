@@ -380,14 +380,16 @@ def _kernel_streamed(
     with_b,
 ):
     """STREAMING sweep (round 4): state in HBM, one (colour, row-group)
-    window in VMEM at a time.  The output is ALIASED to the x input, so
-    each grid step's window read observes every previous step's
-    write-back; grid steps are sequential ("arbitrary" semantics) and
-    both DMAs complete inside the body, which serializes the 2-row
-    read-after-write overlap between consecutive groups of a colour.
+    window in VMEM at a time.  No input/output aliasing is used: grid
+    step 0 seeds the ANY-space output buffer with a whole-buffer
+    HBM->HBM copy of the padded input, and every later window read DMAs
+    from that output buffer — so each read observes every previous
+    step's write-back.  Grid steps are sequential ("arbitrary"
+    semantics) and both DMAs complete inside the body, which serializes
+    the read-window overlap between consecutive groups of a colour.
     Group-size tc shrinks with the plane so the ~70 live slab
     temporaries fit VMEM at any N0 — this is what lifts the 160^3
-    resident ceiling (PARITY "Known gaps") to arbitrary sizes."""
+    resident ceiling (PARITY "Known gaps") to arbitrary N1%8==0 sizes."""
     if with_b:
         x_hbm, b_hbm, out_hbm, xw, bw, snw, sem = refs
     else:
@@ -475,11 +477,19 @@ def _streaming_tc(shape) -> int:
 def patch_sweep_streaming_supported(shape) -> bool:
     """Can the HBM-streaming kernel serve this grid?  Needs only the
     lane/extent basics plus ONE group window in VMEM — sizes far past
-    the resident kernel's ceiling (256^3+)."""
+    the resident kernel's ceiling (256^3+).
+
+    N1 must be a multiple of 8: the manual HBM<->VMEM window DMAs
+    FAULT the TPU at runtime when the sublane extent is not — isolated
+    on-chip 2026-08-21 (examples/probe_streamed_dma5.py: a trivial
+    read+1/write kernel crashes the worker at N1=10 while the full
+    sweep body is bit-exact vs the resident kernel at N1=16).  The
+    resident kernel (BlockSpec-pipelined, no manual DMA) has no such
+    constraint; odd-extent grids fall back to it or to the lax path."""
     if len(shape) != 3:
         return False
     N0, N1, N2 = shape
-    if N2 % 128 or N1 < _M or N0 < _M:
+    if N2 % 128 or N1 % 8 or N1 < _M or N0 < _M:
         return False
     return _streaming_tc(shape) >= 1
 
@@ -502,8 +512,13 @@ def fused_patch_sweep_sqfd_streamed(
     independent); the noise stream differs from the resident kernel's
     (group indexing enters the keying) but targets the same law."""
     N0, N1, N2 = x.shape
+    assert patch_sweep_streaming_supported(x.shape), (
+        x.shape,
+        "streaming patch sweep: needs N1 % 8 == 0 (unaligned sublane "
+        "window DMAs fault the TPU — probe_streamed_dma5) and an "
+        "in-VMEM-budget group window",
+    )
     tc = _streaming_tc(x.shape)
-    assert tc >= 1, (x.shape, "streaming patch sweep: VMEM budget")
     stride = _M * tc
     n_centers = -(-N0 // _M)
     n_groups = -(-n_centers // tc)

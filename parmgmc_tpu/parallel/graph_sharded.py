@@ -11,11 +11,13 @@ equivalent, built on ``shard_map`` over a device mesh axis:
   per shard in a colour-blocked ELL with UNIFORM padded colour-block
   extents, so every shard runs the same traced program (padded rows
   are inert self-loops: diag 1, off-diagonals 0, never referenced).
-* **Ghosts**: each shard's boundary values (owned rows referenced by
-  any other shard, padded to a common ``bmax``) are exported with one
-  ``all_gather`` per colour sub-sweep — the collective analogue of the
-  reference's per-colour VecScatter — and ghost column ids index the
-  concatenation ``[x_local, gathered_exports]`` statically.
+* **Ghosts**: boundary values move NEIGHBOR-WISE by default — one
+  ``ppermute`` per nonzero shard offset with cross-shard references
+  (typically just +-1 under a coordinate cut), so received bytes per
+  shard are O(neighbors x boundary) like the reference's per-colour
+  VecScatter (``mc_sor.c:152-214``) — with an ``all_gather`` mode kept
+  for A/B probes.  Ghost column ids index the concatenation
+  ``[x_local, exchanged_exports]`` statically.
 * **Coarse levels**: the algebraic hierarchy below level 0 is
   REPLICATED (mesh coarse levels shrink ~25x per level); restriction
   is a per-shard partial P^T over owned rows + one ``psum``, and
@@ -62,30 +64,60 @@ __all__ = [
 ]
 
 
-@pytree_dataclass(meta=("color_starts", "n_shards", "bmax", "n_local"))
+@pytree_dataclass(
+    meta=(
+        "color_starts", "n_shards", "bmax", "n_local", "ghost_mode",
+        "nbr_shifts",
+    )
+)
 class ShardedGraphOperator:
     """Per-shard colour-blocked ELL blocks, stacked on a leading shard
     axis (sharded over the device mesh).  Ghost columns index
-    ``[local, all-gathered exports]``; see module docstring."""
+    ``[local, exchanged exports]``; see module docstring.
+
+    Two ghost exchanges (``ghost_mode``):
+
+    * ``"neighbor"`` (default) — one ``ppermute`` per nonzero shard
+      offset delta in ``nbr_shifts``: shard s ships its (s -> s-delta)
+      export block around the ring, so received bytes per shard are
+      O(neighbors * boundary), matching the reference's per-colour
+      VecScatter locality (``/root/reference/src/mc_sor.c:152-214``).
+      ``export_idx`` is (S, m, bmax): row j = the delta_j export slots.
+    * ``"allgather"`` — every shard receives EVERY shard's padded
+      boundary (O(S * bmax) received bytes); ``export_idx`` is
+      (S, bmax).  Kept for A/B probes; fine at small S, does not
+      weak-scale.
+    """
 
     vals: jax.Array  # (S, L, w)
-    cols: jax.Array  # (S, L, w) int32 into [0, L + S*bmax)
+    cols: jax.Array  # (S, L, w) int32 into [0, L + ghosts)
     diag: jax.Array  # (S, L)
-    export_idx: jax.Array  # (S, bmax) int32 local slots (0-padded)
+    export_idx: jax.Array  # (S, bmax) or (S, m, bmax) int32 local slots
     own_gid: jax.Array  # (S, L) int32 global-internal id (0 for padding)
     own_mask: jax.Array  # (S, L) f32: 1 real row, 0 padding
     color_starts: tuple  # uniform local colour offsets (len ncolors+1)
     n_shards: int
     bmax: int
     n_local: int
+    ghost_mode: str = "allgather"
+    nbr_shifts: tuple = ()
 
     @property
     def ncolors(self) -> int:
         return len(self.color_starts) - 1
 
+    @property
+    def ghost_rows_received(self) -> int:
+        """Ghost rows received per shard per exchange (the weak-scaling
+        figure of merit: O(neighbors) for neighbor mode, O(S) for
+        allgather)."""
+        if self.ghost_mode == "neighbor":
+            return len(self.nbr_shifts) * self.bmax
+        return self.n_shards * self.bmax
+
 
 def partition_graph_operator(
-    op: GraphOperator, n_shards: int, coords=None
+    op: GraphOperator, n_shards: int, coords=None, ghost_mode: str = "neighbor"
 ) -> ShardedGraphOperator:
     """Row-partition a colour-blocked GraphOperator into ``n_shards``.
 
@@ -147,22 +179,65 @@ def partition_graph_operator(
     # boundary exports: owned gids referenced by another shard
     w = vals.shape[1]
     ref_mask = vals != 0
-    exports = []
-    for s in range(n_shards):
-        need = set()
-        for t in range(n_shards):
+    pair_need = [[None] * n_shards for _ in range(n_shards)]  # [t][s]
+    for t in range(n_shards):
+        gt = owned[t]
+        nb = cols[gt][ref_mask[gt]]
+        for s in range(n_shards):
             if t == s:
                 continue
-            gt = owned[t]
-            nb = cols[gt][ref_mask[gt]]
-            need.update(nb[owner[nb] == s].tolist())
-        exports.append(np.sort(np.fromiter(need, np.int64, len(need))))
-    bmax = max(1, max(len(e) for e in exports))
-    export_idx = np.zeros((n_shards, bmax), np.int32)
-    pos_in_export = np.full(n, -1, np.int64)
-    for s in range(n_shards):
-        export_idx[s, : len(exports[s])] = slot_of[exports[s]]
-        pos_in_export[exports[s]] = np.arange(len(exports[s]))
+            pair_need[t][s] = np.unique(nb[owner[nb] == s])
+
+    if ghost_mode == "neighbor":
+        # per-offset export lists: shard s ships lists_d[s] to (s - d)
+        shifts = [
+            d
+            for d in range(1, n_shards)
+            if any(
+                len(pair_need[(s - d) % n_shards][s]) for s in range(n_shards)
+            )
+        ]
+        lists = {
+            d: [np.sort(pair_need[(s - d) % n_shards][s]) if
+                pair_need[(s - d) % n_shards][s] is not None else
+                np.empty(0, np.int64) for s in range(n_shards)]
+            for d in shifts
+        }
+        bmax = max(
+            [1] + [len(l) for d in shifts for l in lists[d]]
+        )
+        m = max(1, len(shifts))
+        export_idx = np.zeros((n_shards, m, bmax), np.int32)
+        # pos_nbr[j, g]: position of gid g in owner(g)'s delta_j list
+        pos_nbr = np.zeros((m, n), np.int64)
+        for j, d in enumerate(shifts):
+            for s in range(n_shards):
+                e = lists[d][s]
+                export_idx[s, j, : len(e)] = slot_of[e]
+                pos_nbr[j, e] = np.arange(len(e))
+        j_of_delta = np.zeros(n_shards, np.int64)
+        for j, d in enumerate(shifts):
+            j_of_delta[d] = j
+    else:
+        assert ghost_mode == "allgather", ghost_mode
+        exports = []
+        for s in range(n_shards):
+            need = [
+                pair_need[t][s] for t in range(n_shards) if t != s
+            ]
+            e = (
+                np.unique(np.concatenate(need))
+                if need
+                else np.empty(0, np.int64)
+            )
+            exports.append(e)
+        bmax = max(1, max(len(e) for e in exports))
+        export_idx = np.zeros((n_shards, bmax), np.int32)
+        pos_in_export = np.full(n, -1, np.int64)
+        for s in range(n_shards):
+            export_idx[s, : len(exports[s])] = slot_of[exports[s]]
+            pos_in_export[exports[s]] = np.arange(len(exports[s]))
+        shifts = []
 
     # per-shard ELL with ghost-mapped columns
     vals_sh = np.zeros((n_shards, L, w), vals.dtype)
@@ -177,11 +252,13 @@ def partition_graph_operator(
         diag_sh[s, gs] = diag[gids]
         cg = cols[gids]
         local = owner[cg] == s
-        mapped = np.where(
-            local,
-            slot_of[cg],
-            L + owner[cg] * bmax + pos_in_export[cg],
-        )
+        if ghost_mode == "neighbor":
+            delta = (owner[cg] - s) % n_shards
+            jj = j_of_delta[delta]
+            ghost = L + jj * bmax + pos_nbr[jj, cg]
+        else:
+            ghost = L + owner[cg] * bmax + pos_in_export[cg]
+        mapped = np.where(local, slot_of[cg], ghost)
         # zero-padded ELL entries may carry self columns owned locally
         # anyway; unreferenced (vals 0) entries map to the row itself
         mapped = np.where(ref_mask[gids], mapped, gs[:, None])
@@ -198,6 +275,8 @@ def partition_graph_operator(
         n_shards=int(n_shards),
         bmax=int(bmax),
         n_local=L,
+        ghost_mode=ghost_mode,
+        nbr_shifts=tuple(int(d) for d in shifts),
     )
 
 
@@ -233,8 +312,23 @@ def rows_to_local(spec: ShardedGraphOperator, M):
 
 # -- shard-local compute (runs INSIDE shard_map; leading S axis == 1) ------
 def _gather_exports(spec, x_loc, axis_name):
-    """(L + S*bmax, [C]) extended vector: local values + all shards'
-    boundary exports (one collective — the VecScatter analogue)."""
+    """Extended vector ``[local, ghosts]`` for one colour sub-sweep.
+
+    neighbor mode: one ``ppermute`` per nonzero shard offset delta —
+    shard s ships its (bmax, [C]) export block for delta to shard
+    s - delta, so each shard receives O(neighbors * bmax) rows (the
+    reference's per-colour VecScatter locality, mc_sor.c:152-214).
+    allgather mode: every shard's padded boundary, O(S * bmax) rows."""
+    S = spec.n_shards
+    if spec.ghost_mode == "neighbor":
+        blocks = []
+        for j, d in enumerate(spec.nbr_shifts):
+            blk = x_loc[spec.export_idx[0, j]]  # (bmax, [C])
+            perm = [(s, (s - d) % S) for s in range(S)]
+            blocks.append(jax.lax.ppermute(blk, axis_name, perm))
+        if not blocks:  # single shard / no cross-shard references
+            blocks = [jnp.zeros((spec.bmax,) + x_loc.shape[1:], x_loc.dtype)]
+        return jnp.concatenate([x_loc] + blocks, axis=0)
     ex = x_loc[spec.export_idx[0]]  # (bmax, [C])
     table = jax.lax.all_gather(ex, axis_name, tiled=True)  # (S*bmax, [C])
     return jnp.concatenate([x_loc, table], axis=0)
@@ -287,6 +381,7 @@ def make_sharded_graph_gibbs_step(
     coords=None,
     axis_name: str = "x",
     n_chains: int = 0,
+    ghost_mode: str = "neighbor",
 ):
     """(step, spec, sharding): a jitted sharded Gibbs chain step.
 
@@ -296,7 +391,7 @@ def make_sharded_graph_gibbs_step(
     single-device one and the noise law is per-owned-row iid (padded
     rows receive noise that nothing ever reads)."""
     S = mesh.shape[axis_name]
-    spec = partition_graph_operator(op, S, coords=coords)
+    spec = partition_graph_operator(op, S, coords=coords, ghost_mode=ghost_mode)
     om = jnp.asarray(omega, op.dtype)
     nsc = jnp.sqrt((2.0 - om) / om) * jnp.sqrt(spec.diag)
     batch = (n_chains,) if n_chains else ()
@@ -345,6 +440,7 @@ def make_sharded_graph_mgmc_step(
     axis_name: str = "x",
     n_chains: int = 0,
     with_noise: bool = True,
+    ghost_mode: str = "neighbor",
 ):
     """(step, spec, sharding): sharded MGMC V-cycle chain step for an
     algebraic (GraphOperator) hierarchy — level 0 row-partitioned with
@@ -374,7 +470,7 @@ def make_sharded_graph_mgmc_step(
     assert isinstance(base0, GraphOperator), "graph hierarchies only"
     assert sampler.gamma == 1, "V-cycles only (gamma=1)"
     S = mesh.shape[axis_name]
-    spec = partition_graph_operator(base0, S, coords=coords)
+    spec = partition_graph_operator(base0, S, coords=coords, ghost_mode=ghost_mode)
     s0 = sampler.smoothers[0]
     om = s0.omega
     sweep = s0.sweep
