@@ -13,7 +13,25 @@ headroom are attributable.  Stages:
               fused coarse tail, dense coarse sample and up adds
   up1       : level-1 up add y1 + P z2
 
+--posterior (VERDICT r4 #4) instead decomposes the LRC deferred step
+(bench.py --posterior, samplers/mgmc.py::step_deferred LRC branch) into
+its component passes so the posterior-over-prior tax is attributable:
+
+  full_prior : prior deferred step on the SAME hierarchy (the bench
+               prior number at this size)
+  full_post  : posterior (LRC) deferred step
+  beff       : b_eff = b + B wv build (patch adds over a full-grid copy)
+  chain_b    : level-0 chain kernel WITH the b stream (posterior mode)
+  chain_nb   : level-0 chain kernel without b (prior mode) — the
+               difference is the kernel-side b stream cost
+  btx        : B^T xpy + B^T(P0 z) carry reads (patch windows)
+  btx2       : B^T xpy2 (patch windows)
+  bbsub      : x - Bb c windowed Woodbury apply
+  rankk      : scalar rank-k glue (w draw, H@c, RABb tensordot,
+               coarse-level B_c patch adds on rc)
+
 Usage: [PROF_N=512] [PROF_STEPS=256] python examples/profile_cycle.py
+       [PROF_N=256] python examples/profile_cycle.py --posterior
 """
 
 import os
@@ -192,5 +210,192 @@ def main():
           f"{dt_full * 1e3:.3f})")
 
 
+def posterior_main():
+    """Attribute the posterior-over-prior cycle tax (VERDICT r4 #4).
+
+    Small rank-k stages are kept honest inside their scans by threading
+    window-sized serial dependencies (patch adds / window reads) rather
+    than full-grid perturbations, so each stage's wall clock reflects
+    only its own HBM traffic + launch cost.
+    """
+    from parmgmc_tpu.chain import ChainState, sample_chain_deferred
+    from parmgmc_tpu.models.problems import gmrf_3d
+    from parmgmc_tpu.samplers.mgmc import MGMCSampler
+
+    # mirror bench.py::_posterior_problem exactly (same seeds/coords)
+    import numpy as np
+
+    from parmgmc_tpu.models.obs import make_posterior_operator
+
+    base = gmrf_3d(N, kappa=1.0, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    K = 5
+    coords = 0.15 + 0.7 * rng.random((K, 3))
+    op, b = make_posterior_operator(
+        base, 0.01, coords, np.full(K, 0.12), obsvals=rng.standard_normal(K)
+    )
+
+    smp_pri = MGMCSampler.create(
+        base, n_pre=1, n_post=0, coarsest_size=128, coarsening="aggregate"
+    )
+    smp = MGMCSampler.create(
+        op, n_pre=1, n_post=0, coarsest_size=128, coarsening="aggregate"
+    )
+    assert smp._lrc_chain_eligible(), "posterior fused path not engaged"
+    assert smp.deferred_eligible()
+    s = smp.smoothers[0]
+    op0 = smp.fine_op
+    n0, n1, n2 = op.grid_shape
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros(op.grid_shape, jnp.float32)
+    z0 = smp.deferred_init(jnp.float32)
+    w0 = jnp.full((K,), 1e-3, jnp.float32)
+    print(
+        f"{N}^3 posterior k={K}: B patches "
+        f"{None if op0.patch_vals is None else tuple(op0.patch_vals.shape)}, "
+        f"Bb patches "
+        f"{None if s.Bb_fw_pv is None else tuple(s.Bb_fw_pv.shape)}"
+    )
+
+    # -- full steps ---------------------------------------------------------
+    @jax.jit
+    def run_full(smp_, st, bb):
+        return sample_chain_deferred(smp_, st, bb, STEPS)
+
+    dt_pri = timed(lambda: run_full(smp_pri, ChainState(x=x0, key=key), None))
+    dt_post = timed(lambda: run_full(smp, ChainState(x=x0, key=key), b))
+
+    # -- b_eff build: patch adds over a full-grid copy ----------------------
+    @jax.jit
+    def run_beff(be):
+        def body(c, _):
+            return op0.b_apply_add(w0, c) * 0.999, 0.0
+
+        be, _ = jax.lax.scan(body, be, None, length=STEPS)
+        return be
+
+    dt_beff = timed(lambda: run_beff(b))
+
+    # -- chain kernel with / without the b stream ---------------------------
+    def make_chain(with_b):
+        @jax.jit
+        def run(smp_, x, z, bb):
+            def body(c, i):
+                xpy, acc = c
+                k = jax.random.fold_in(key, i)
+                xpy2, rc, _, xs, zs = smp_._fused_chain_down(
+                    xpy, bb, k, z=z, with_xsum=True, with_zsum=True
+                )
+                return (
+                    xpy2,
+                    acc + jnp.sum(rc[0, 0]) + jnp.sum(xs) + jnp.sum(zs),
+                ), 0.0
+
+            (xpy, acc), _ = jax.lax.scan(
+                body, (x, 0.0), jnp.arange(STEPS, dtype=jnp.int32)
+            )
+            return xpy, acc
+
+        return run
+
+    run_cb = make_chain(True)
+    run_cn = make_chain(False)
+    dt_cb = timed(lambda: run_cb(smp, x0, z0, b))
+    dt_cn = timed(lambda: run_cn(smp, x0, z0, None))
+
+    # -- B^T reads (patch windows) ------------------------------------------
+    @jax.jit
+    def run_btx(x, z):
+        def body(c, _):
+            xc, zc = c
+            t = op0.bt_apply(xc) + smp._bt_carry(zc)
+            # window-sized serial dependence: fold t back into x's balls
+            return (op0.b_apply_add(t * 1e-30, xc), zc), 0.0
+
+        c, _ = jax.lax.scan(body, (x, z), None, length=STEPS)
+        return c[0]
+
+    dt_btx = timed(lambda: run_btx(x0, z0))
+
+    @jax.jit
+    def run_btx2(x):
+        def body(c, _):
+            t = op0.bt_apply(c)
+            return op0.b_apply_add(t * 1e-30, c), 0.0
+
+        c, _ = jax.lax.scan(body, x, None, length=STEPS)
+        return c
+
+    dt_btx2 = timed(lambda: run_btx2(x0))
+
+    # -- windowed Woodbury apply x - Bb c -----------------------------------
+    @jax.jit
+    def run_bbsub(x):
+        def body(c, _):
+            t = op0.bt_apply(c) * 1e-30
+            return s._bb_apply_sub(s.sweep, c, t), 0.0
+
+        c, _ = jax.lax.scan(body, x, None, length=STEPS)
+        return c
+
+    dt_bbsub = timed(lambda: run_bbsub(x0))
+
+    # -- rank-k glue: w draw, H@c, RABb tensordot, coarse B_c adds ----------
+    rc0 = jnp.zeros((n0 // 2, n1 // 2, n2 // 2), jnp.float32)
+    H = smp.lrc_aux["H"]
+    RABb = smp.lrc_aux["RABb"]
+    colsum = smp.lrc_aux["Bb_colsum"]
+
+    @jax.jit
+    def run_rankk(rc):
+        def body(c, i):
+            klr = jax.random.fold_in(key, i)
+            w = s.sqrt_sigma_inv * jax.random.normal(klr, (K,), jnp.float32)
+            cvec = smp.ops[1].bt_apply(c) * 1e-30 + w * 1e-30
+            cc = w * 1e-30 + op0.sigma_inv * (cvec - H @ cvec)
+            out = smp.ops[1].b_apply_add(
+                -cc, c + jnp.tensordot(RABb, cvec, axes=((3,), (0,)))
+            )
+            sx = colsum @ cvec
+            return out * 0.999 + sx * 1e-30, 0.0
+
+        c, _ = jax.lax.scan(body, rc, jnp.arange(STEPS, dtype=jnp.int32))
+        return c
+
+    dt_rankk = timed(lambda: run_rankk(rc0))
+
+    stages = {
+        "full_prior": dt_pri,
+        "full_post": dt_post,
+        "beff": dt_beff,
+        "chain_b": dt_cb,
+        "chain_nb": dt_cn,
+        "btx": dt_btx,
+        "btx2": dt_btx2,
+        "bbsub": dt_bbsub,
+        "rankk": dt_rankk,
+    }
+    print(f"\n{N}^3 posterior k={K} deferred LRC chain, {STEPS}-step scans:")
+    for kk, v in stages.items():
+        print(f"  {kk:10s} {v * 1e3:8.3f} ms/step")
+    tax = dt_post - dt_pri
+    acc = (
+        dt_beff
+        + (dt_cb - dt_cn)
+        + dt_btx
+        + dt_btx2
+        + dt_bbsub
+        + dt_rankk
+    )
+    print(
+        f"  posterior tax {tax * 1e3:.3f} ms/step; attributed "
+        f"{acc * 1e3:.3f} (beff + [chain_b-chain_nb] + btx + btx2 + "
+        f"bbsub + rankk)"
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--posterior" in sys.argv:
+        posterior_main()
+    else:
+        main()

@@ -64,12 +64,17 @@ __all__ = [
 ]
 
 # The round-4 streaming kernel crashed the TPU worker at real lowering
-# (VERDICT r4 #1) — its machinery (ANY-space output + read-from-output
-# DMA + HBM->HBM seed copy) is unproven on this toolchain.  Until the
-# on-chip selftest passes 3/3, production routing is opt-in only.
+# (VERDICT r4 #1).  Round-5 bisection (probe_streamed_dma*.py): the
+# ANY-space-output / read-from-output / HBM->HBM-seed-copy machinery is
+# all green on-chip; the fault was the UNALIGNED SUBLANE EXTENT of the
+# round-4 selftest shape (N1=10) — manual window DMAs need N1 % 8 == 0,
+# now enforced by patch_sweep_streaming_supported.  With the gate in
+# place `bench.py --selftest-patch` passes 3/3 on the real chip
+# (2026-08-21: det A/B bitwise 0.0 at (16,16,128); 256^3 streaming
+# sweep 176.4 ms vs ~27 s lax), so production routing is ON.
 import os as _os
 
-_STREAMING_VALIDATED = False  # flip when bench.py --selftest-patch is 3/3 green
+_STREAMING_VALIDATED = True  # bench.py --selftest-patch 3/3 green 2026-08-21
 
 
 def streaming_enabled() -> bool:

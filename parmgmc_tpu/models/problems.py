@@ -37,9 +37,23 @@ def squared_shifted_laplace_fd(
 
     The FD analogue of the reference's squared-operator priors (ex9's
     C0-IP discretisation of (kappa^2-Delta)^2, ex13's CG2 prior): the
-    square of the 5/7-point operator, extracted in closed form by comb
-    probing of A.apply twice.  Samplers handle the radius-2 stencil via
-    (r+1)-coloring automatically.
+    square of the 5/7-point operator, composed in closed form.
+
+    F = kappa^2 + hinv2 * links (``fd_stencil``: scalar off-diagonals
+    ``-h``, diag ``k2 + h * L(j)`` with ``L`` the in-grid link count)
+    squares to the radius-2 stencil with rows, writing ``g_u(j) =
+    [j+u in grid]`` for unit offsets ``u``:
+
+      diag        d(j)^2 + h^2 L(j)               (the 2-hop returns)
+      coeff[u]    -h (d(j) + d(j+u) g_u(j))       (leave-then-mix paths)
+      coeff[2u]   h^2 g_u(j)                      (through the midpoint)
+      coeff[u+v]  h^2 (g_u(j) + g_v(j)),  u != v  (two 2-hop paths)
+
+    (An earlier comb-probing extraction materialised a
+    ``(spacing^d, *grid)`` response stack — 14.5 GB at 256^3; the
+    closed form peaks at the output stencil itself, ~1.7 GB there.)
+    Samplers handle the radius-2 stencil via (r+1)-coloring
+    automatically.
     """
     import itertools
 
@@ -48,36 +62,59 @@ def squared_shifted_laplace_fd(
     A = shifted_laplace_fd(grid_shape, kappa, dtype=dtype)
     shape = A.grid_shape
     d = A.ndim
-    r = 2
-    spacing = 2 * r + 2
+    h = float((shape[0] - 1) ** 2)
+    k2 = float(kappa) ** 2
 
-    def code_at(off):
-        c = jnp.zeros(shape, dtype=jnp.int32)
-        for ax in range(d):
+    def g(u):
+        # [j + u in grid] for a +-1 single-axis offset u, as dtype
+        out = jnp.ones(shape, dtype)
+        for ax, o in enumerate(u):
+            if o == 0:
+                continue
             i = jax.lax.broadcasted_iota(jnp.int32, shape, ax)
-            c = c * spacing + ((i + off[ax]) % spacing)
-        return c
+            out = out * (
+                (i < shape[ax] - 1) if o > 0 else (i > 0)
+            ).astype(dtype)
+        return out
 
-    zero_code = code_at((0,) * d)
+    units = []
+    for ax in range(d):
+        for s in (-1, 1):
+            u = [0] * d
+            u[ax] = s
+            units.append(tuple(u))
 
-    def T(p):
-        comb = (zero_code == p).astype(dtype)
-        return A.apply(A.apply(comb))
+    gs = {u: g(u) for u in units}
+    L = sum(gs.values())
+    diag_f = (k2 + h * L) ** 2 + h * h * L
 
-    U = jax.lax.map(T, jnp.arange(spacing**d, dtype=jnp.int32))
-    rng = tuple(range(-r, r + 1))
-    offsets = tuple(
-        off for off in itertools.product(rng, repeat=d) if any(o != 0 for o in off)
-    )
+    def shift_diag(u):
+        # d(j+u) with zero fill out of grid (== d(j+u) g_u(j))
+        dg = k2 + h * L
+        pads = [(0, 0)] * d
+        sl = [slice(None)] * d
+        ax = next(a for a, o in enumerate(u) if o)
+        o = u[ax]
+        pads[ax] = (max(0, -o), max(0, o))
+        sl[ax] = slice(max(0, o), max(0, o) + shape[ax])
+        return jnp.pad(dg, pads)[tuple(sl)] * gs[u]
 
-    def extract(off):
-        sel = code_at(off)[None]
-        return jnp.take_along_axis(U, sel, axis=0)[0]
+    coeffs_map = {}
+    for u in units:
+        coeffs_map[u] = -h * ((k2 + h * L) + shift_diag(u))
+        coeffs_map[tuple(2 * o for o in u)] = h * h * gs[u]
+    for u, v in itertools.combinations(units, 2):
+        if any(a and b for a, b in zip(u, v)):
+            continue  # same axis (u = -v): those paths land on the diag
+        off = tuple(a + b for a, b in zip(u, v))
+        coeffs_map[off] = h * h * (gs[u] + gs[v])
 
-    coeffs = tuple(extract(off) for off in offsets)
-    diag = extract((0,) * d)
     from parmgmc_tpu.operators.stencil import compress_stencil
 
     return compress_stencil(
-        StencilOperator(offsets=offsets, coeffs=coeffs, diag=diag)
+        StencilOperator(
+            offsets=tuple(coeffs_map),
+            coeffs=tuple(coeffs_map.values()),
+            diag=diag_f,
+        )
     )

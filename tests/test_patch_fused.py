@@ -63,16 +63,19 @@ def test_fused_patch_sweep_matches_lax():
 def test_streamed_patch_sweep_matches_resident():
     """Round-4 HBM-streaming kernel: bitwise-identical to the resident
     kernel deterministically (any group size; row groups of a colour
-    are independent), with and without a b stream."""
+    are independent), with and without a b stream.  N1 % 8 == 0 (the
+    round-5 streaming gate: unaligned sublane window DMAs fault the
+    real TPU — probe_streamed_dma5)."""
     from parmgmc_tpu.kernels.patch_sweep import (
         fused_patch_sweep_sqfd_streamed,
     )
 
-    op = squared_shifted_laplace_fd(GRID, 1.3, dtype=jnp.float32)
+    grid = (16, 16, 128)
+    op = squared_shifted_laplace_fd(grid, 1.3, dtype=jnp.float32)
     p = detect_squared_fd(op)
     key = jax.random.PRNGKey(3)
-    x = jax.random.normal(key, GRID, jnp.float32)
-    b = jax.random.normal(jax.random.fold_in(key, 1), GRID, jnp.float32)
+    x = jax.random.normal(key, grid, jnp.float32)
+    b = jax.random.normal(jax.random.fold_in(key, 1), grid, jnp.float32)
     res = fused_patch_sweep_sqfd(
         x, b, p[0], p[1], 0, 0, interpret=True, with_noise=False
     )
