@@ -447,6 +447,10 @@ def selftest_lrc():
         op, n_pre=1, n_post=0, coarsest_size=128, coarsening="aggregate"
     )
     assert smp._lrc_chain_eligible(), "LRC fused chain path not engaged"
+    print(
+        "kernel-probed b-response route engaged:",
+        "Mb_pv" in smp.lrc_aux,
+    )
     s0 = smp.smoothers[0]
     key = jax.random.PRNGKey(3)
     x0 = jax.random.normal(jax.random.fold_in(key, 1), GRID, jnp.float32)

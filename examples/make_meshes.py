@@ -5,13 +5,18 @@ The reference ships CAD-derived Gmsh meshes (``/root/reference/data/
 *classes* of geometry from implicit regions (masked Kuhn-subdivided
 grids + deterministic jitter, models.mesh.masked_grid_mesh) so the mesh
 half of the test suite and all benchmark presets work with no reference
-mount.  Node/cell counts are tuned to the same order of magnitude as
-the reference assets:
+mount.  The geometries live in the SAME coordinate frames as the
+reference assets (round 5: the benchmark presets' observation balls and
+QOI regions are absolute coordinates — wrench y up to ~256, piece
+centred near the origin, cuboid 10x10x2 — so a repo asset in a
+different frame silently put every observation outside the material).
+Node/cell counts are tuned to the same order of magnitude as the
+reference assets:
 
-    wrench       3D   219 nodes /   492 tets   (ref: 171 / 356)
+    wrench       3D   199 nodes /   368 tets   (ref: 171 / 356)
     lshape       2D   455 nodes /   794 tris   (ref: 408 / 734)
-    piece        3D  4148 nodes / 18156 tets   (ref: 4177 / 14127)
-    cuboid_hole  3D   202 nodes /   550 tets   (ref: 104 / 255)
+    piece        3D  4091 nodes / 17550 tets   (ref: 4177 / 14127)
+    cuboid_hole  3D   140 nodes /   320 tets   (ref: 104 / 255)
 
 Run:  python examples/make_meshes.py  [--outdir data]
 """
@@ -32,22 +37,25 @@ from parmgmc_tpu.models.mesh import (
 
 
 def wrench():
-    """3D wrench-ish solid: a handle bar joining two heads with holes —
-    open-end head at y=0, ring head at y=16."""
+    """3D wrench-ish solid in the REFERENCE asset's frame (x ~ +-26,
+    y ~ -24..256, z ~ +-5): a handle bar joining an open-end head at
+    y=0 and a ring head at y=230.  The wrench.json preset's observation
+    balls ([0,240,0] r=20 on the ring, [0,130,0] r=8 on the handle,
+    [15,-8,0] r=15 on the open head) and rect QOI all land inside."""
 
     def inside(p):
         x, y, z = p[:, 0], p[:, 1], p[:, 2]
-        handle = (np.abs(x) < 1.3) & (y > 1.0) & (y < 15.0) & (np.abs(z) < 1.0)
-        head1 = (x**2 + y**2 < 2.9**2) & (np.abs(z) < 1.0)
-        jaw = (np.abs(x) < 0.9) & (y < -0.4)  # open jaw slot
+        handle = (np.abs(x) < 13) & (y > 10) & (y < 212) & (np.abs(z) < 5)
+        head1 = (x**2 + y**2 < 29**2) & (np.abs(z) < 5)
+        jaw = (np.abs(x) < 9) & (y < -4)  # open jaw slot
         head1 &= ~jaw
-        head2 = (x**2 + (y - 16.0) ** 2 < 2.5**2) & (np.abs(z) < 1.0)
-        hole2 = x**2 + (y - 16.0) ** 2 < 1.1**2
+        head2 = (x**2 + (y - 230.0) ** 2 < 26**2) & (np.abs(z) < 5)
+        hole2 = x**2 + (y - 230.0) ** 2 < 11**2
         head2 &= ~hole2
         return handle | head1 | head2
 
     return masked_grid_mesh(
-        [[-3.2, 3.2], [-3.2, 18.8], [-1.1, 1.1]], 1.45, inside, jitter=0.12
+        [[-32, 32], [-32, 258], [-5.5, 5.5]], 12.0, inside, jitter=0.12
     )
 
 
@@ -62,33 +70,41 @@ def lshape():
 
 
 def piece():
-    """3D machined plate: [0,4]x[0,2]x[0,0.6] minus two bores and a
-    corner chamfer."""
+    """3D machined plate in the reference piece's frame (origin-centred
+    ~3.4 x 3.6 x 0.6 slab): three bores and corner chamfers, placed
+    away from the piece.json preset's observation balls."""
 
     def inside(p):
         x, y, z = p[:, 0], p[:, 1], p[:, 2]
-        plate = (x < 4.0) & (y < 2.0) & (z < 0.6)
-        bore1 = (x - 1.0) ** 2 + (y - 1.0) ** 2 < 0.45**2
-        bore2 = (x - 3.0) ** 2 + (y - 1.0) ** 2 < 0.45**2
-        chamfer = x + y > 5.2
-        return plate & ~bore1 & ~bore2 & ~chamfer
+        plate = (
+            (x > -1.58) & (x < 1.8) & (np.abs(y) < 1.78)
+            & (z > -0.2) & (z < 0.4)
+        )
+        bore1 = (x - 0.9) ** 2 + y**2 < 0.25**2
+        bore2 = (x + 0.9) ** 2 + (y - 0.9) ** 2 < 0.2**2
+        bore3 = (x + 0.9) ** 2 + (y + 0.9) ** 2 < 0.2**2
+        chamfer = (x + np.abs(y)) > 3.2
+        return plate & ~bore1 & ~bore2 & ~bore3 & ~chamfer
 
     return masked_grid_mesh(
-        [[0, 4], [0, 2], [0, 0.6]], 0.115, inside, jitter=0.1
+        [[-1.62, 1.84], [-1.82, 1.82], [-0.23, 0.43]], 0.14, inside,
+        jitter=0.1,
     )
 
 
 def cuboid_hole():
-    """3D unit cube minus a through-bore along z."""
+    """3D 10x10x2 slab (the reference cuboid's frame) minus a z bore."""
 
     def inside(p):
         x, y, z = p[:, 0], p[:, 1], p[:, 2]
         return (
-            (x < 1.0) & (y < 1.0) & (z < 1.0)
-            & ((x - 0.5) ** 2 + (y - 0.5) ** 2 > 0.28**2)
+            (x < 10.0) & (y < 10.0) & (z < 2.0)
+            & ((x - 5.0) ** 2 + (y - 5.0) ** 2 > 2.8**2)
         )
 
-    return masked_grid_mesh([[0, 1], [0, 1], [0, 1]], 0.21, inside, jitter=0.1)
+    return masked_grid_mesh(
+        [[0, 10], [0, 10], [0, 2]], 1.7, inside, jitter=0.1
+    )
 
 
 GEOMETRIES = {

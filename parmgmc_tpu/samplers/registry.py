@@ -28,6 +28,7 @@ from parmgmc_tpu.samplers.cholesky import CholeskySampler
 from parmgmc_tpu.samplers.gibbs import GibbsSampler
 from parmgmc_tpu.samplers.mgmc import (
     MGMCSampler,
+    attach_chain_b_response,
     build_hierarchy,
     compute_lrc_aux,
 )
@@ -144,7 +145,7 @@ def _build_mgmc(op, cfg):
     )
     smoothers = tuple(build_sampler(o, dict(smoother_cfg)) for o in ops[:-1])
     coarse = build_sampler(ops[-1], dict(coarse_cfg))
-    return MGMCSampler(
+    smp = MGMCSampler(
         ops=tuple(ops),
         transfers=transfers,
         smoothers=smoothers,
@@ -156,6 +157,7 @@ def _build_mgmc(op, cfg):
         gamma=cfg.pop("gamma", 1),
         lrc_aux=compute_lrc_aux(ops, transfers, smoothers),
     )
+    return attach_chain_b_response(smp)
 
 
 @register_sampler("woodbury")

@@ -210,6 +210,55 @@ def test_mgmc_lrc_deferred_matches_step(monkeypatch):
         )
 
 
+def test_mgmc_lrc_b_response_matches_legacy(monkeypatch):
+    """Round-5 kernel-probed b-response route (attach_chain_b_response:
+    static b through the kernel + rank-k window corrections) must equal
+    the legacy b_eff route under the same keys — step AND deferred step,
+    with and without a static b."""
+    import dataclasses
+
+    monkeypatch.setattr(MGMCSampler, "_fused_chain_down", _fake_chain_down)
+
+    op, f = make_posterior()
+    smp = MGMCSampler.create(
+        op, n_pre=1, n_post=0, coarsest_size=128,
+        coarsening="aggregate", impl="fused_fd",
+    )
+    assert "Mb_pv" in smp.lrc_aux, "probe route should engage"
+    legacy = dataclasses.replace(
+        smp,
+        lrc_aux={
+            kk: smp.lrc_aux[kk] for kk in ("H", "RABb", "Bb_colsum")
+        },
+    )
+
+    key = jax.random.PRNGKey(21)
+    x0 = jax.random.normal(jax.random.fold_in(key, 2), GRID, jnp.float32)
+    z0 = smp.deferred_init(jnp.float32)
+    for b in (f, None):
+        _, a = smp.step(key, x0, b)
+        _, c = legacy.step(key, x0, b)
+        scale = float(jnp.abs(c).max())
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), atol=2e-4 * scale,
+            err_msg=f"step b={'f' if b is not None else 'None'}",
+        )
+        ra = smp.step_deferred(key, x0, z0, b)
+        rb = legacy.step_deferred(key, x0, z0, b)
+        for va, vb, name in (
+            (ra[1], rb[1], "xpy"),
+            (ra[2], rb[2], "carry"),
+            (ra[3], rb[3], "xsum"),
+            (ra[4], rb[4], "zsum"),
+        ):
+            s2 = float(jnp.abs(vb).max()) + 1e-12
+            np.testing.assert_allclose(
+                np.asarray(va), np.asarray(vb), atol=3e-4 * s2,
+                err_msg=f"deferred {name} "
+                        f"b={'f' if b is not None else 'None'}",
+            )
+
+
 def test_mgmc_lrc_posterior_moments(monkeypatch):
     """End-to-end: the routed LRC chain (fake kernel) targets the dense
     posterior N(A_post^{-1} f, A_post^{-1}) — mean via long chain."""
