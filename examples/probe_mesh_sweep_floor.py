@@ -186,33 +186,39 @@ def main():
 
         return run
 
-    dt_off = timed(scan_of(lambda x: op.offdiag_apply(x)), x0)
-    dt_sweep = timed(scan_of(lambda x: op.sor_sweep(b, x, om)), x0)
-    dt_pad = timed(scan_of(lambda x: sor_sweep_padsum(op, b, x, om)), x0)
-    dt_segoff = timed(scan_of(lambda x: offdiag_segment(op, segs, x)), x0)
-    dt_segsweep = timed(
-        scan_of(lambda x: sor_sweep_segment(op, segs, b, x, om)), x0
-    )
+    import os
 
-    # exactness of the variants vs the production sweep
-    ref = op.sor_sweep(b, x0, om)
-    d1 = float(jnp.abs(ref - sor_sweep_padsum(op, b, x0, om)).max())
-    d2 = float(jnp.abs(ref - sor_sweep_segment(op, segs, b, x0, om)).max())
-
+    want = os.environ.get(
+        "PROBE_STAGES", "offdiag,sweep,padsum,segoff,segsweep"
+    ).split(",")
     gb = nnz * C * 4 / 1e9
-    rows = {
-        "copy(r+w)": dt_copy,
-        "offdiag": dt_off,
-        "sweep": dt_sweep,
-        "padsum": dt_pad,
-        "seg-offdiag": dt_segoff,
-        "seg-sweep": dt_segsweep,
+    print(f"{ITERS}-iter scans, nnz gather volume {gb * 1e3:.1f} MB:")
+    print(f"  {'copy(r+w)':12s} {dt_copy * 1e3:8.3f} ms/iter  "
+          f"({gb / dt_copy:6.1f} GB/s of nnz)", flush=True)
+
+    stages = {
+        "offdiag": lambda x: op.offdiag_apply(x),
+        "sweep": lambda x: op.sor_sweep(b, x, om),
+        "padsum": lambda x: sor_sweep_padsum(op, b, x, om),
+        "segoff": lambda x: offdiag_segment(op, segs, x),
+        "segsweep": lambda x: sor_sweep_segment(op, segs, b, x, om),
     }
-    print(f"\n{ITERS}-iter scans, nnz gather volume {gb * 1e3:.1f} MB:")
-    for k, v in rows.items():
-        print(f"  {k:12s} {v * 1e3:8.3f} ms/iter  ({gb / v:6.1f} GB/s of nnz)")
-    print(f"  padsum vs sweep max |dx| = {d1:.2e}")
-    print(f"  segment vs sweep max |dx| = {d2:.2e}")
+    for name in want:
+        dt = timed(scan_of(stages[name]), x0)
+        print(f"  {name:12s} {dt * 1e3:8.3f} ms/iter  "
+              f"({gb / dt:6.1f} GB/s of nnz)", flush=True)
+
+    if "segsweep" in want or "padsum" in want:
+        # exactness of the variants vs the production sweep
+        ref = op.sor_sweep(b, x0, om)
+        if "padsum" in want:
+            d1 = float(jnp.abs(ref - sor_sweep_padsum(op, b, x0, om)).max())
+            print(f"  padsum vs sweep max |dx| = {d1:.2e}")
+        if "segsweep" in want:
+            d2 = float(
+                jnp.abs(ref - sor_sweep_segment(op, segs, b, x0, om)).max()
+            )
+            print(f"  segment vs sweep max |dx| = {d2:.2e}")
 
 
 if __name__ == "__main__":
