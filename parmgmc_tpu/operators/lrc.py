@@ -68,23 +68,55 @@ def column_patches(cols_grid: jax.Array, max_fill: float = 0.25):
     return jnp.stack(vals), jnp.asarray(starts)
 
 
+def window_indices(starts, box):
+    """Per-axis advanced-indexing grids for k common-size windows:
+    ``idx[a][j, ...] = starts[j, a] + iota(box[a])`` broadcast to
+    (k, *box).  ONE gather/scatter consumes all k windows — the
+    per-window dynamic_slice/update chains cost ~0.07-0.1 ms of fixed
+    launch overhead EACH in a scan body on this chip
+    (examples/probe_patch_overhead.py, round 5), which dominated the
+    posterior tax."""
+    k = starts.shape[0]
+    d = len(box)
+    idx = []
+    for a in range(d):
+        shape = [1] * (d + 1)
+        shape[0] = k
+        st = starts[:, a].reshape(shape)
+        shape = [1] * (d + 1)
+        shape[a + 1] = box[a]
+        ar = jnp.arange(box[a], dtype=starts.dtype).reshape(shape)
+        idx.append(st + ar)
+    return tuple(idx)
+
+
+def gather_windows(x, starts, box):
+    """(k, *box[, C]) stack of k windows of ``x`` in ONE gather."""
+    return x[window_indices(starts, box)]
+
+
+def scatter_add_windows(y, starts, vals):
+    """y with ``vals[j]`` added at window j, all k windows in ONE
+    scatter-add (overlap-safe: overlapping boxes accumulate)."""
+    box = vals.shape[1 : 1 + starts.shape[1]]
+    return y.at[window_indices(starts, box)].add(vals)
+
+
 def patch_apply_add(patch_vals, patch_starts, w, y):
     """y + sum_j w[j] * column_j, columns given as common-size windows
     (`column_patches` layout); w may carry trailing chain dims (k, [C]).
-    Sequential window updates (XLA aliases the dus chain) — the apply
-    reads/writes k small boxes instead of k full grids."""
+    One batched scatter-add over the k boxes (overlapping balls
+    accumulate, same sum as the old sequential window chain up to fp
+    order)."""
     k = patch_vals.shape[0]
-    box = patch_vals.shape[1:]
-    nd = len(box)
-    batch = y.shape[nd:]
-    out = y
-    for j in range(k):
-        st = tuple(patch_starts[j]) + (0,) * len(batch)
-        win = jax.lax.dynamic_slice(out, st, box + batch)
-        out = jax.lax.dynamic_update_slice(
-            out, win + _bc(patch_vals[j], win) * w[j], st
+    batch = w.shape[1:]
+    if batch:
+        upd = patch_vals[(...,) + (None,) * len(batch)] * w.reshape(
+            (k,) + (1,) * (patch_vals.ndim - 1) + batch
         )
-    return out
+    else:
+        upd = patch_vals * w.reshape((k,) + (1,) * (patch_vals.ndim - 1))
+    return scatter_add_windows(y, patch_starts, upd)
 
 
 @pytree_dataclass
@@ -131,19 +163,18 @@ class LRCOperator:
         return self.base.dtype
 
     def bt_apply(self, x: jax.Array) -> jax.Array:
-        """(k,[C]) = B^T x for grid-shaped x (+ trailing chain dims)."""
+        """(k,[C]) = B^T x for grid-shaped x (+ trailing chain dims).
+        Patch route: ONE batched window gather + one reduction (the
+        per-window slice chain cost ~0.1 ms of launch overhead each in
+        scan bodies — probe_patch_overhead)."""
         gaxes = tuple(range(self.ndim))
         if self.patch_vals is not None:
             box = self.patch_vals.shape[1:]
-            batch = x.shape[self.ndim :]
-            outs = []
-            for j in range(self.k):  # k is small and static
-                st = tuple(self.patch_starts[j]) + (0,) * len(batch)
-                win = jax.lax.dynamic_slice(x, st, box + batch)
-                outs.append(
-                    jnp.sum(_bc(self.patch_vals[j], win) * win, axis=gaxes)
-                )
-            return jnp.stack(outs)
+            wins = gather_windows(x, self.patch_starts, box)  # (k,*box[,C])
+            return jnp.sum(
+                _bc(self.patch_vals, wins) * wins,
+                axis=tuple(range(1, self.ndim + 1)),
+            )
         return jnp.tensordot(self.B, x, axes=(gaxes, gaxes))
 
     def b_apply(self, w: jax.Array) -> jax.Array:
@@ -155,21 +186,13 @@ class LRCOperator:
         return jnp.tensordot(self.B, w, axes=((self.ndim,), (0,)))
 
     def b_apply_add(self, w: jax.Array, y: jax.Array) -> jax.Array:
-        """y + B w — with patches this updates y's ball windows in
-        place (XLA aliases the dynamic_update_slice chain), avoiding
-        the separate zeros+add pass of ``y + b_apply(w)``."""
+        """y + B w — with patches this is ONE batched scatter-add over
+        the ball windows (overlap-safe), avoiding both the separate
+        zeros+add pass of ``y + b_apply(w)`` and the per-window update
+        chain's launch overhead."""
         if self.patch_vals is None:
             return y + self.b_apply(w)
-        box = self.patch_vals.shape[1:]
-        batch = y.shape[self.ndim :]
-        out = y
-        for j in range(self.k):  # sequential adds: balls may overlap
-            st = tuple(self.patch_starts[j]) + (0,) * len(batch)
-            win = jax.lax.dynamic_slice(out, st, box + batch)
-            out = jax.lax.dynamic_update_slice(
-                out, win + _bc(self.patch_vals[j], win) * w[j], st
-            )
-        return out
+        return patch_apply_add(self.patch_vals, self.patch_starts, w, y)
 
     def apply(self, x: jax.Array) -> jax.Array:
         bt = self.bt_apply(x)

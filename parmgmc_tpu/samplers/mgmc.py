@@ -305,6 +305,62 @@ def attach_chain_b_response(smp, max_fill: float = 0.5):
             "Mb_colsum": jnp.asarray(colsum, dtype),
         }
     )
+
+    # -- consolidated scatter factors (each scan-body kernel costs
+    # ~0.07-0.1 ms of launch overhead on this chip, so the rank-k glue
+    # is kernel-COUNT-bound: pack every same-level window set into ONE
+    # scatter).  Runtime weights: coarse [c, wv, -cc]; fine [wv, -c].
+    def repack(sets, shape):
+        # sets: list of (vals (k,*box_i), starts (k,d)) — pad to a
+        # common box (values are exact-support windows, so zero-pad is
+        # exact) and concatenate
+        ext = [
+            max(int(v.shape[1 + a]) for v, _ in sets) for a in range(d)
+        ]
+        outs_v, outs_s = [], []
+        for v, s_ in sets:
+            v = np.asarray(v)
+            s_ = np.asarray(s_)
+            kk = v.shape[0]
+            nv = np.zeros((kk, *ext), v.dtype)
+            ns = np.zeros((kk, d), np.int32)
+            for j in range(kk):
+                st = [
+                    min(int(s_[j, a]), shape[a] - ext[a]) for a in range(d)
+                ]
+                off = tuple(
+                    slice(int(s_[j, a]) - st[a],
+                          int(s_[j, a]) - st[a] + v.shape[1 + a])
+                    for a in range(d)
+                )
+                nv[(j, *off)] = v[j]
+                ns[j] = st
+            outs_v.append(nv)
+            outs_s.append(ns)
+        return (
+            jnp.asarray(np.concatenate(outs_v)),
+            jnp.asarray(np.concatenate(outs_s)),
+        )
+
+    from parmgmc_tpu.operators.lrc import column_patches
+
+    opc = smp.ops[1]
+    rabb_p = column_patches(aux["RABb"], max_fill=d + 8.0)
+    s0 = smp.smoothers[0]
+    bb_pv, bb_ps = (
+        (s0.Bb_fw_pv, s0.Bb_fw_ps)
+        if s0.sweep == "forward"
+        else (s0.Bb_bw_pv, s0.Bb_bw_ps)
+    )
+    if rabb_p is not None and opc.patch_vals is not None:
+        aux["C_pv"], aux["C_ps"] = repack(
+            [rabb_p, (pc[0], pc[1]), (opc.patch_vals, opc.patch_starts)],
+            cshape,
+        )
+    if bb_pv is not None:
+        aux["F_pv"], aux["F_ps"] = repack(
+            [(pf[0], pf[1]), (bb_pv, bb_ps)], gshape
+        )
     return dataclasses.replace(smp, lrc_aux=aux)
 
 
@@ -686,19 +742,37 @@ class MGMCSampler:
             xpy_k, rc_k, sub = self._fused_chain_down(x, b, sub)
             c = (op0.bt_apply(xpy_k) - btx) + aux["BtMb"] @ wv
             cc = w + op0.sigma_inv * (c - H @ c)
-            rc = patch_apply_add(
-                aux["RB_pv"],
-                aux["RB_ps"],
-                wv,
-                rc_k + jnp.tensordot(RABb, c, axes=((ndim,), (0,))),
-            )
-            rc = self.ops[1].b_apply_add(-cc, rc)
+            if "C_pv" in aux:
+                # all three coarse factor sets in ONE scatter
+                rc = patch_apply_add(
+                    aux["C_pv"],
+                    aux["C_ps"],
+                    jnp.concatenate([c, wv, -cc]),
+                    rc_k,
+                )
+            else:
+                rc = patch_apply_add(
+                    aux["RB_pv"],
+                    aux["RB_ps"],
+                    wv,
+                    rc_k + jnp.tensordot(RABb, c, axes=((ndim,), (0,))),
+                )
+                rc = self.ops[1].b_apply_add(-cc, rc)
             sub, sub2 = jax.random.split(sub)
             z1 = self._cycle_keyed(1, rc, sub2)
-            x_out = patch_apply_add(aux["Mb_pv"], aux["Mb_ps"], wv, xpy_k)
-            return s._bb_apply_sub(s.sweep, x_out, c) + self.transfers[
-                0
-            ].prolong(z1)
+            if "F_pv" in aux:
+                x_out = patch_apply_add(
+                    aux["F_pv"],
+                    aux["F_ps"],
+                    jnp.concatenate([wv, -c]),
+                    xpy_k,
+                )
+            else:
+                x_out = patch_apply_add(
+                    aux["Mb_pv"], aux["Mb_ps"], wv, xpy_k
+                )
+                x_out = s._bb_apply_sub(s.sweep, x_out, c)
+            return x_out + self.transfers[0].prolong(z1)
         if b is not None:
             b_eff = op0.b_apply_add(wv, b)
         else:
@@ -870,25 +944,21 @@ class MGMCSampler:
         equals B_c^T z_coarse with B_c = ops[1].B (= P^T B, the
         hierarchy invariant).  Patch columns read tiny strided windows
         of the carry directly; dense columns compress the carry once."""
+        from parmgmc_tpu.operators.lrc import window_indices
+
         opc = self.ops[1]
         layout = self.deferred_layout()
         if opc.patch_vals is not None:
+            # ONE batched strided gather of all k windows: the carry
+            # layout duplicates lanes (zx2) or both in-plane axes (zf),
+            # so the index grids stretch by 2 on the duplicated axes
             box = opc.patch_vals.shape[1:]
-            outs = []
-            for j in range(opc.k):
-                st = opc.patch_starts[j]
-                if layout == "zx2":  # (n0/2, n1/2, n2), lanes duplicated
-                    win = jax.lax.dynamic_slice(
-                        z, (st[0], st[1], 2 * st[2]),
-                        (box[0], box[1], 2 * box[2]),
-                    )[..., ::2]
-                else:  # zf: (n0/2, n1, n2), in-plane at fine pitch
-                    win = jax.lax.dynamic_slice(
-                        z, (st[0], 2 * st[1], 2 * st[2]),
-                        (box[0], 2 * box[1], 2 * box[2]),
-                    )[:, ::2, ::2]
-                outs.append(jnp.sum(opc.patch_vals[j] * win))
-            return jnp.stack(outs)
+            i0, i1, i2 = window_indices(opc.patch_starts, box)
+            if layout == "zx2":  # (n0/2, n1/2, n2), lanes duplicated
+                wins = z[i0, i1, 2 * i2]
+            else:  # zf: (n0/2, n1, n2), in-plane at fine pitch
+                wins = z[i0, 2 * i1, 2 * i2]
+            return jnp.sum(opc.patch_vals * wins, axis=(1, 2, 3))
         zc = z[..., ::2] if layout == "zx2" else z[:, ::2, ::2]
         return opc.bt_apply(zc)
 
@@ -958,17 +1028,35 @@ class MGMCSampler:
                 )
                 c = (op0.bt_apply(xpy2) - btx) + aux["BtMb"] @ wv
                 cc = w + op0.sigma_inv * (c - H @ c)
-                rc = patch_apply_add(
-                    aux["RB_pv"],
-                    aux["RB_ps"],
-                    wv,
-                    rc + jnp.tensordot(aux["RABb"], c, axes=((3,), (0,))),
-                )
-                rc = self.ops[1].b_apply_add(-cc, rc)
-                xpy2 = patch_apply_add(
-                    aux["Mb_pv"], aux["Mb_ps"], wv, xpy2
-                )
-                xpy2 = s._bb_apply_sub(s.sweep, xpy2, c)
+                if "C_pv" in aux:
+                    rc = patch_apply_add(
+                        aux["C_pv"],
+                        aux["C_ps"],
+                        jnp.concatenate([c, wv, -cc]),
+                        rc,
+                    )
+                else:
+                    rc = patch_apply_add(
+                        aux["RB_pv"],
+                        aux["RB_ps"],
+                        wv,
+                        rc + jnp.tensordot(
+                            aux["RABb"], c, axes=((3,), (0,))
+                        ),
+                    )
+                    rc = self.ops[1].b_apply_add(-cc, rc)
+                if "F_pv" in aux:
+                    xpy2 = patch_apply_add(
+                        aux["F_pv"],
+                        aux["F_ps"],
+                        jnp.concatenate([wv, -c]),
+                        xpy2,
+                    )
+                else:
+                    xpy2 = patch_apply_add(
+                        aux["Mb_pv"], aux["Mb_ps"], wv, xpy2
+                    )
+                    xpy2 = s._bb_apply_sub(s.sweep, xpy2, c)
                 sx = (
                     jnp.sum(xsum)
                     + aux["Mb_colsum"] @ wv
