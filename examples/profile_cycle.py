@@ -249,6 +249,8 @@ def posterior_main():
     key = jax.random.PRNGKey(0)
     x0 = jnp.zeros(op.grid_shape, jnp.float32)
     z0 = smp.deferred_init(jnp.float32)
+    if isinstance(z0, tuple):  # posterior route carries (z, B^T x)
+        z0 = z0[0]
     w0 = jnp.full((K,), 1e-3, jnp.float32)
     print(
         f"{N}^3 posterior k={K}: B patches "

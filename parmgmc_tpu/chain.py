@@ -143,7 +143,9 @@ def sample_chain_deferred(
         (
             state.key,
             state.x,
-            sampler.deferred_init(state.x.dtype),
+            # the starting state seeds the carry (the posterior route
+            # carries B^T x alongside z — zero only for zero starts)
+            sampler.deferred_init(state.x.dtype, state.x),
             jnp.zeros((), state.x.dtype),
         ),
         None,

@@ -68,55 +68,53 @@ def column_patches(cols_grid: jax.Array, max_fill: float = 0.25):
     return jnp.stack(vals), jnp.asarray(starts)
 
 
-def window_indices(starts, box):
-    """Per-axis advanced-indexing grids for k common-size windows:
-    ``idx[a][j, ...] = starts[j, a] + iota(box[a])`` broadcast to
-    (k, *box).  ONE gather/scatter consumes all k windows — the
-    per-window dynamic_slice/update chains cost ~0.07-0.1 ms of fixed
-    launch overhead EACH in a scan body on this chip
-    (examples/probe_patch_overhead.py, round 5), which dominated the
-    posterior tax."""
-    k = starts.shape[0]
-    d = len(box)
-    idx = []
-    for a in range(d):
-        shape = [1] * (d + 1)
-        shape[0] = k
-        st = starts[:, a].reshape(shape)
-        shape = [1] * (d + 1)
-        shape[a + 1] = box[a]
-        ar = jnp.arange(box[a], dtype=starts.dtype).reshape(shape)
-        idx.append(st + ar)
-    return tuple(idx)
+# Round-5 negative result (probe_patch_overhead.py + bench A/B): a
+# BATCHED advanced-indexing gather/scatter over the k windows measured
+# 30x SLOWER end-to-end (92.9 vs 3.0 ms/cycle posterior bench) — TPU
+# gathers/scatters with computed index grids are element-wise slow
+# paths.  Per-window dynamic_slice / dynamic_update_slice chains are
+# the fast path; their cost is ~0.07-0.1 ms of fixed LAUNCH overhead
+# per op in a scan body, so the lever is fusing several factor sets
+# into ONE slice+update per window (see mgmc.attach_chain_b_response's
+# union-box packing), never batching the indexing.
 
 
-def gather_windows(x, starts, box):
-    """(k, *box[, C]) stack of k windows of ``x`` in ONE gather."""
-    return x[window_indices(starts, box)]
-
-
-def scatter_add_windows(y, starts, vals):
-    """y with ``vals[j]`` added at window j, all k windows in ONE
-    scatter-add (overlap-safe: overlapping boxes accumulate)."""
-    box = vals.shape[1 : 1 + starts.shape[1]]
-    return y.at[window_indices(starts, box)].add(vals)
+def fused_patch_apply_add(pv, ps, w, y):
+    """y + sum_{i,j} w[i, j] * column_{i,j} for m factor SETS sharing
+    per-column windows: ``pv (m, k, *box)``, ``ps (k, d)``, ``w (m, k)``.
+    ONE dynamic_slice + ONE update per column j applies all m factors —
+    the scan-body launch overhead (~0.07-0.1 ms/op on this chip) is
+    paid once per window instead of once per (set, window)."""
+    m, k = pv.shape[0], pv.shape[1]
+    box = pv.shape[2:]
+    out = y
+    for j in range(k):
+        st = tuple(ps[j])
+        win = jax.lax.dynamic_slice(out, st, box)
+        upd = win
+        for i in range(m):
+            upd = upd + pv[i, j] * w[i, j]
+        out = jax.lax.dynamic_update_slice(out, upd, st)
+    return out
 
 
 def patch_apply_add(patch_vals, patch_starts, w, y):
     """y + sum_j w[j] * column_j, columns given as common-size windows
     (`column_patches` layout); w may carry trailing chain dims (k, [C]).
-    One batched scatter-add over the k boxes (overlapping balls
-    accumulate, same sum as the old sequential window chain up to fp
-    order)."""
+    Sequential window updates (XLA aliases the dus chain) — the apply
+    reads/writes k small boxes instead of k full grids."""
     k = patch_vals.shape[0]
-    batch = w.shape[1:]
-    if batch:
-        upd = patch_vals[(...,) + (None,) * len(batch)] * w.reshape(
-            (k,) + (1,) * (patch_vals.ndim - 1) + batch
+    box = patch_vals.shape[1:]
+    nd = len(box)
+    batch = y.shape[nd:]
+    out = y
+    for j in range(k):
+        st = tuple(patch_starts[j]) + (0,) * len(batch)
+        win = jax.lax.dynamic_slice(out, st, box + batch)
+        out = jax.lax.dynamic_update_slice(
+            out, win + _bc(patch_vals[j], win) * w[j], st
         )
-    else:
-        upd = patch_vals * w.reshape((k,) + (1,) * (patch_vals.ndim - 1))
-    return scatter_add_windows(y, patch_starts, upd)
+    return out
 
 
 @pytree_dataclass
@@ -163,18 +161,19 @@ class LRCOperator:
         return self.base.dtype
 
     def bt_apply(self, x: jax.Array) -> jax.Array:
-        """(k,[C]) = B^T x for grid-shaped x (+ trailing chain dims).
-        Patch route: ONE batched window gather + one reduction (the
-        per-window slice chain cost ~0.1 ms of launch overhead each in
-        scan bodies — probe_patch_overhead)."""
+        """(k,[C]) = B^T x for grid-shaped x (+ trailing chain dims)."""
         gaxes = tuple(range(self.ndim))
         if self.patch_vals is not None:
             box = self.patch_vals.shape[1:]
-            wins = gather_windows(x, self.patch_starts, box)  # (k,*box[,C])
-            return jnp.sum(
-                _bc(self.patch_vals, wins) * wins,
-                axis=tuple(range(1, self.ndim + 1)),
-            )
+            batch = x.shape[self.ndim :]
+            outs = []
+            for j in range(self.k):  # k is small and static
+                st = tuple(self.patch_starts[j]) + (0,) * len(batch)
+                win = jax.lax.dynamic_slice(x, st, box + batch)
+                outs.append(
+                    jnp.sum(_bc(self.patch_vals[j], win) * win, axis=gaxes)
+                )
+            return jnp.stack(outs)
         return jnp.tensordot(self.B, x, axes=(gaxes, gaxes))
 
     def b_apply(self, w: jax.Array) -> jax.Array:
@@ -186,10 +185,9 @@ class LRCOperator:
         return jnp.tensordot(self.B, w, axes=((self.ndim,), (0,)))
 
     def b_apply_add(self, w: jax.Array, y: jax.Array) -> jax.Array:
-        """y + B w — with patches this is ONE batched scatter-add over
-        the ball windows (overlap-safe), avoiding both the separate
-        zeros+add pass of ``y + b_apply(w)`` and the per-window update
-        chain's launch overhead."""
+        """y + B w — with patches this updates y's ball windows in
+        place (XLA aliases the dynamic_update_slice chain), avoiding
+        the separate zeros+add pass of ``y + b_apply(w)``."""
         if self.patch_vals is None:
             return y + self.b_apply(w)
         return patch_apply_add(self.patch_vals, self.patch_starts, w, y)

@@ -306,41 +306,45 @@ def attach_chain_b_response(smp, max_fill: float = 0.5):
         }
     )
 
-    # -- consolidated scatter factors (each scan-body kernel costs
-    # ~0.07-0.1 ms of launch overhead on this chip, so the rank-k glue
-    # is kernel-COUNT-bound: pack every same-level window set into ONE
-    # scatter).  Runtime weights: coarse [c, wv, -cc]; fine [wv, -c].
-    def repack(sets, shape):
-        # sets: list of (vals (k,*box_i), starts (k,d)) — pad to a
-        # common box (values are exact-support windows, so zero-pad is
-        # exact) and concatenate
-        ext = [
-            max(int(v.shape[1 + a]) for v, _ in sets) for a in range(d)
-        ]
-        outs_v, outs_s = [], []
-        for v, s_ in sets:
-            v = np.asarray(v)
-            s_ = np.asarray(s_)
-            kk = v.shape[0]
-            nv = np.zeros((kk, *ext), v.dtype)
-            ns = np.zeros((kk, d), np.int32)
-            for j in range(kk):
-                st = [
-                    min(int(s_[j, a]), shape[a] - ext[a]) for a in range(d)
-                ]
+    # -- per-column UNION-BOX factor packs.  Each scan-body op costs
+    # ~0.07-0.1 ms of fixed launch overhead on this chip and BATCHED
+    # index gathers/scatters are 30x slower (probe_patch_overhead +
+    # bench A/B, round 5) — so the winning layout keeps per-window
+    # dynamic slices but aligns every factor SET on the SAME per-column
+    # window: one slice + one update then applies ALL sets
+    # (operators.lrc.fused_patch_apply_add).  Runtime weights:
+    # coarse (CW) [c, wv, -cc] over [restrict(A Bb), rc-response, B_c];
+    # fine (FW) [wv, -c] over [Mb, Bb].
+    def union_pack(sets, shape):
+        # sets: list of (vals (k,*box_i), starts (k,d)) — build
+        # (m, k, *ext) values on per-column union windows (zero-pad is
+        # exact: every factor has exact compact support)
+        sets = [(np.asarray(v), np.asarray(s_)) for v, s_ in sets]
+        k = sets[0][0].shape[0]
+        los = np.zeros((k, d), np.int64)
+        his = np.zeros((k, d), np.int64)
+        for j in range(k):
+            for a in range(d):
+                los[j, a] = min(int(s_[j, a]) for _, s_ in sets)
+                his[j, a] = max(
+                    int(s_[j, a]) + v.shape[1 + a] for v, s_ in sets
+                )
+        ext = [int((his[:, a] - los[:, a]).max()) for a in range(d)]
+        vals = np.zeros((len(sets), k, *ext), sets[0][0].dtype)
+        starts = np.zeros((k, d), np.int32)
+        for j in range(k):
+            st = [
+                min(int(los[j, a]), shape[a] - ext[a]) for a in range(d)
+            ]
+            starts[j] = st
+            for i, (v, s_) in enumerate(sets):
                 off = tuple(
                     slice(int(s_[j, a]) - st[a],
                           int(s_[j, a]) - st[a] + v.shape[1 + a])
                     for a in range(d)
                 )
-                nv[(j, *off)] = v[j]
-                ns[j] = st
-            outs_v.append(nv)
-            outs_s.append(ns)
-        return (
-            jnp.asarray(np.concatenate(outs_v)),
-            jnp.asarray(np.concatenate(outs_s)),
-        )
+                vals[(i, j, *off)] = v[j]
+        return jnp.asarray(vals), jnp.asarray(starts)
 
     from parmgmc_tpu.operators.lrc import column_patches
 
@@ -353,12 +357,12 @@ def attach_chain_b_response(smp, max_fill: float = 0.5):
         else (s0.Bb_bw_pv, s0.Bb_bw_ps)
     )
     if rabb_p is not None and opc.patch_vals is not None:
-        aux["C_pv"], aux["C_ps"] = repack(
+        aux["CW_pv"], aux["CW_ps"] = union_pack(
             [rabb_p, (pc[0], pc[1]), (opc.patch_vals, opc.patch_starts)],
             cshape,
         )
     if bb_pv is not None:
-        aux["F_pv"], aux["F_ps"] = repack(
+        aux["FW_pv"], aux["FW_ps"] = union_pack(
             [(pf[0], pf[1]), (bb_pv, bb_ps)], gshape
         )
     return dataclasses.replace(smp, lrc_aux=aux)
@@ -739,15 +743,17 @@ class MGMCSampler:
             # RHS term enters as precomputed rank-k window corrections:
             #   xpy(b + B wv) = xpy(b) + Mb wv
             #   rc (b + B wv) = rc (b) + RB wv
+            from parmgmc_tpu.operators.lrc import fused_patch_apply_add
+
             xpy_k, rc_k, sub = self._fused_chain_down(x, b, sub)
             c = (op0.bt_apply(xpy_k) - btx) + aux["BtMb"] @ wv
             cc = w + op0.sigma_inv * (c - H @ c)
-            if "C_pv" in aux:
-                # all three coarse factor sets in ONE scatter
-                rc = patch_apply_add(
-                    aux["C_pv"],
-                    aux["C_ps"],
-                    jnp.concatenate([c, wv, -cc]),
+            if "CW_pv" in aux:
+                # all three coarse factor sets: one slice+update/window
+                rc = fused_patch_apply_add(
+                    aux["CW_pv"],
+                    aux["CW_ps"],
+                    jnp.stack([c, wv, -cc]),
                     rc_k,
                 )
             else:
@@ -760,11 +766,11 @@ class MGMCSampler:
                 rc = self.ops[1].b_apply_add(-cc, rc)
             sub, sub2 = jax.random.split(sub)
             z1 = self._cycle_keyed(1, rc, sub2)
-            if "F_pv" in aux:
-                x_out = patch_apply_add(
-                    aux["F_pv"],
-                    aux["F_ps"],
-                    jnp.concatenate([wv, -c]),
+            if "FW_pv" in aux:
+                x_out = fused_patch_apply_add(
+                    aux["FW_pv"],
+                    aux["FW_ps"],
+                    jnp.stack([wv, -c]),
                     xpy_k,
                 )
             else:
@@ -944,21 +950,25 @@ class MGMCSampler:
         equals B_c^T z_coarse with B_c = ops[1].B (= P^T B, the
         hierarchy invariant).  Patch columns read tiny strided windows
         of the carry directly; dense columns compress the carry once."""
-        from parmgmc_tpu.operators.lrc import window_indices
-
         opc = self.ops[1]
         layout = self.deferred_layout()
         if opc.patch_vals is not None:
-            # ONE batched strided gather of all k windows: the carry
-            # layout duplicates lanes (zx2) or both in-plane axes (zf),
-            # so the index grids stretch by 2 on the duplicated axes
             box = opc.patch_vals.shape[1:]
-            i0, i1, i2 = window_indices(opc.patch_starts, box)
-            if layout == "zx2":  # (n0/2, n1/2, n2), lanes duplicated
-                wins = z[i0, i1, 2 * i2]
-            else:  # zf: (n0/2, n1, n2), in-plane at fine pitch
-                wins = z[i0, 2 * i1, 2 * i2]
-            return jnp.sum(opc.patch_vals * wins, axis=(1, 2, 3))
+            outs = []
+            for j in range(opc.k):
+                st = opc.patch_starts[j]
+                if layout == "zx2":  # (n0/2, n1/2, n2), lanes duplicated
+                    win = jax.lax.dynamic_slice(
+                        z, (st[0], st[1], 2 * st[2]),
+                        (box[0], box[1], 2 * box[2]),
+                    )[..., ::2]
+                else:  # zf: (n0/2, n1, n2), in-plane at fine pitch
+                    win = jax.lax.dynamic_slice(
+                        z, (st[0], 2 * st[1], 2 * st[2]),
+                        (box[0], 2 * box[1], 2 * box[2]),
+                    )[:, ::2, ::2]
+                outs.append(jnp.sum(opc.patch_vals[j] * win))
+            return jnp.stack(outs)
         zc = z[..., ::2] if layout == "zx2" else z[:, ::2, ::2]
         return opc.bt_apply(zc)
 
@@ -1002,6 +1012,9 @@ class MGMCSampler:
         or the carry.  Start from a zero carry (:meth:`deferred_init`);
         materialise the final state with :meth:`materialize_deferred`.
         """
+        btxf = None
+        if isinstance(zx2, tuple):  # posterior route: (z, B^T xpy) pair
+            zx2, btxf = zx2
         key, sub = jax.random.split(key)
         if self._lrc_chain_eligible():
             # posterior (LRC): the rank-k recipe of _lrc_chain_step with
@@ -1016,7 +1029,9 @@ class MGMCSampler:
             w = s.sqrt_sigma_inv * jax.random.normal(
                 klr, (op0.k,), xpy.dtype
             )
-            btx = op0.bt_apply(xpy) + self._bt_carry(zx2)
+            btx = (
+                btxf if btxf is not None else op0.bt_apply(xpy)
+            ) + self._bt_carry(zx2)
             wv = w - op0.sigma_inv * btx
             H = aux["H"]
             if "Mb_pv" in aux:
@@ -1026,13 +1041,22 @@ class MGMCSampler:
                 xpy2, rc, sub, xsum, zsum = self._fused_chain_down(
                     xpy, b, sub, z=zx2, with_xsum=True, with_zsum=True
                 )
-                c = (op0.bt_apply(xpy2) - btx) + aux["BtMb"] @ wv
+                from parmgmc_tpu.operators.lrc import (
+                    fused_patch_apply_add,
+                )
+
+                u = op0.bt_apply(xpy2)
+                c = (u - btx) + aux["BtMb"] @ wv
                 cc = w + op0.sigma_inv * (c - H @ c)
-                if "C_pv" in aux:
-                    rc = patch_apply_add(
-                        aux["C_pv"],
-                        aux["C_ps"],
-                        jnp.concatenate([c, wv, -cc]),
+                # next step's fine B^T x by identity (deferred_init):
+                # B^T(xpy2 + Mb wv - Bb c) = u + BtMb wv - H c
+                if btxf is not None:
+                    btxf = u + aux["BtMb"] @ wv - H @ c
+                if "CW_pv" in aux:
+                    rc = fused_patch_apply_add(
+                        aux["CW_pv"],
+                        aux["CW_ps"],
+                        jnp.stack([c, wv, -cc]),
                         rc,
                     )
                 else:
@@ -1045,11 +1069,11 @@ class MGMCSampler:
                         ),
                     )
                     rc = self.ops[1].b_apply_add(-cc, rc)
-                if "F_pv" in aux:
-                    xpy2 = patch_apply_add(
-                        aux["F_pv"],
-                        aux["F_ps"],
-                        jnp.concatenate([wv, -c]),
+                if "FW_pv" in aux:
+                    xpy2 = fused_patch_apply_add(
+                        aux["FW_pv"],
+                        aux["FW_ps"],
+                        jnp.stack([wv, -c]),
                         xpy2,
                     )
                 else:
@@ -1117,26 +1141,48 @@ class MGMCSampler:
             zn = expand(y1) + expand(self.transfers[1].prolong(z2))
         else:
             zn = expand(self._cycle_keyed(1, rc, sub2))
+        if btxf is not None:
+            zn = (zn, btxf)
         return key, xpy2, zn, sx, zw * jnp.sum(zsum)
 
-    def deferred_init(self, dtype):
-        """Zero lazy carry in this sampler's :meth:`deferred_layout`."""
+    def deferred_init(self, dtype, x=None):
+        """Zero lazy carry in this sampler's :meth:`deferred_layout`.
+
+        On the kernel-probed posterior route the carry is the pair
+        ``(z, btxf)`` with ``btxf = B^T x`` for the chain's starting
+        state (zero when ``x`` is omitted — correct for zero starts):
+        each step then recovers the next step's ``B^T x`` from the
+        identity ``B^T x' = B^T xpy_k + (B^T Mb) wv - (B^T Bb) c``
+        instead of re-reading the k fine observation windows."""
         n0, n1, n2 = self.grid_shape
         if self.deferred_layout() == "zf":
-            return jnp.zeros((n0 // 2, n1, n2), dtype)
-        return jnp.zeros((n0 // 2, n1 // 2, n2), dtype)
+            z = jnp.zeros((n0 // 2, n1, n2), dtype)
+        else:
+            z = jnp.zeros((n0 // 2, n1 // 2, n2), dtype)
+        if self.lrc_aux is not None and "Mb_pv" in self.lrc_aux:
+            btxf = (
+                jnp.zeros((self.fine_op.k,), dtype)
+                if x is None
+                else self.fine_op.bt_apply(x).astype(dtype)
+            )
+            return (z, btxf)
+        return z
 
     def deferred_final_sum(self, z):
         """sum(P0 z) for a lazy carry: the kernel's zsum covers this one
         step late, so the LAST sample's z part is reduced here (the
         factor counts the axes P still duplicates beyond the carry's
         own pre-duplication)."""
+        if isinstance(z, tuple):
+            z = z[0]
         zw = 2.0 if self.deferred_layout() == "zf" else 4.0
         return zw * jnp.sum(z)
 
     def materialize_deferred(self, xpy, z):
         """The sample the lazy pair represents: xpy + P0 z (expand the
         axes the carry layout leaves compressed and add)."""
+        if isinstance(z, tuple):
+            z = z[0]
         n0, n1, n2 = self.grid_shape
         if self.deferred_layout() == "zf":
             zfull = jnp.broadcast_to(

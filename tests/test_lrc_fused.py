@@ -234,7 +234,10 @@ def test_mgmc_lrc_b_response_matches_legacy(monkeypatch):
 
     key = jax.random.PRNGKey(21)
     x0 = jax.random.normal(jax.random.fold_in(key, 2), GRID, jnp.float32)
-    z0 = smp.deferred_init(jnp.float32)
+    z0 = smp.deferred_init(jnp.float32, x0)  # (z, B^T x0) pair
+    assert isinstance(z0, tuple), "posterior route should carry btxf"
+    z0_legacy = legacy.deferred_init(jnp.float32, x0)
+    assert not isinstance(z0_legacy, tuple)
     for b in (f, None):
         _, a = smp.step(key, x0, b)
         _, c = legacy.step(key, x0, b)
@@ -244,10 +247,10 @@ def test_mgmc_lrc_b_response_matches_legacy(monkeypatch):
             err_msg=f"step b={'f' if b is not None else 'None'}",
         )
         ra = smp.step_deferred(key, x0, z0, b)
-        rb = legacy.step_deferred(key, x0, z0, b)
+        rb = legacy.step_deferred(key, x0, z0_legacy, b)
         for va, vb, name in (
             (ra[1], rb[1], "xpy"),
-            (ra[2], rb[2], "carry"),
+            (ra[2][0], rb[2], "carry"),
             (ra[3], rb[3], "xsum"),
             (ra[4], rb[4], "zsum"),
         ):
