@@ -188,11 +188,12 @@ def main(posterior: bool = False):
     # decay 8x per level ~0.25) -> achieved GB/s vs the measured
     # ~360 GB/s effective copy bandwidth of this chip (CLAUDE.md).
     if posterior:
-        # deferred chain + kernel b_eff stream (1) + b_eff build
-        # (write + b read, 2) + Woodbury Bb apply (k dense passes +
-        # read/write of xpy, k+2 = 7 at k=5); the B^T products ride
-        # the sparse patch view (~free)
-        passes = 3.0 + 1.1 + 0.25 + 1.0 + 2.0 + 7.0
+        # round-5 kernel-probed b-response route: deferred chain +
+        # kernel STATIC-b stream (1); every rank-k term (B^T reads,
+        # Mb/Bb/coarse corrections) is window-sized (~4% of a pass at
+        # 256^3 k=5, counted as 0.25) — no b_eff build, no dense Bb
+        # passes (samplers/mgmc.py::attach_chain_b_response)
+        passes = 3.0 + 1.1 + 0.25 + 1.0 + 0.25
     else:
         passes = 3.0 + (0.0 if b is None else 1.0) + 1.1 + 0.25
     n_pts = N**3
