@@ -150,7 +150,11 @@ def main():
         note("setup done; compiling burn-in program")
         ms.sample_chains(args.burnin, args.chains)  # burn-in + compile
         note("burn-in done")
-        chunk = min(args.samples, 1024)
+        # per-dispatch work scales with the chain count; ~1024 samples
+        # was sized for 256 chains (a 1024-chain chunk of 1024 samples
+        # ran past the ~2-minute axon dispatch limit and crashed the
+        # worker, round 5) — hold samples*chains per dispatch constant
+        chunk = min(args.samples, max(128, 1024 * 256 // args.chains))
         n_chunks = -(-args.samples // chunk)
         t0 = time.perf_counter()
         qs = []
