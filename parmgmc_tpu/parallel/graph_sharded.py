@@ -478,12 +478,18 @@ def make_sharded_graph_mgmc_step(
     batch = (n_chains,) if n_chains else ()
 
     if is_lrc:
-        assert s0.is_lrc and s0.Bb_fw is not None
+        assert s0.is_lrc and (
+            s0.Bb_fw is not None or s0.Bb_bw is not None
+        )
+        # r5: create() only builds the direction(s) the sweep uses;
+        # substitute the available factor for the never-consumed slot
+        bb_fw = s0.Bb_fw if s0.Bb_fw is not None else s0.Bb_bw
+        bb_bw = s0.Bb_bw if s0.Bb_bw is not None else s0.Bb_fw
         k_lr = op0.B.shape[-1]
         lrc_consts = (
             rows_to_local(spec, op0.B),
-            rows_to_local(spec, s0.Bb_fw),
-            rows_to_local(spec, s0.Bb_bw),
+            rows_to_local(spec, bb_fw),
+            rows_to_local(spec, bb_bw),
             op0.sigma_inv,
             s0.sqrt_sigma_inv,
         )

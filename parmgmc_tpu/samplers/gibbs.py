@@ -168,15 +168,27 @@ class GibbsSampler:
 
             base = op.base
             B, sigma_inv = op.B, op.sigma_inv
-            Bb_fw = build_lrc_correction(base, B, sigma_inv, omega, "forward")
-            Bb_bw = build_lrc_correction(base, B, sigma_inv, omega, "backward")
+            # only build the factor(s) the sweep actually uses: each is
+            # a dense (*grid, k) stack (2.7 GB at 512^3 k=5), and the
+            # unused direction OOMed the 512^3 posterior setup (r5)
+            Bb_fw = Bb_bw = None
+            if sweep in ("forward", "symmetric"):
+                Bb_fw = build_lrc_correction(
+                    base, B, sigma_inv, omega, "forward"
+                )
+            if sweep in ("backward", "symmetric"):
+                Bb_bw = build_lrc_correction(
+                    base, B, sigma_inv, omega, "backward"
+                )
             sqrt_sigma_inv = jnp.sqrt(sigma_inv)
             patch_vals, patch_starts = op.patch_vals, op.patch_starts
             if patch_vals is not None and getattr(base, "ndim", 0) >= 2:
                 # localized observations on a structured grid: the
                 # Woodbury factors are exactly window-supported too
-                Bb_patches["fw"] = column_patches(Bb_fw)
-                Bb_patches["bw"] = column_patches(Bb_bw)
+                if Bb_fw is not None:
+                    Bb_patches["fw"] = column_patches(Bb_fw)
+                if Bb_bw is not None:
+                    Bb_patches["bw"] = column_patches(Bb_bw)
         else:
             base = op
             B = sqrt_sigma_inv = Bb_fw = Bb_bw = None

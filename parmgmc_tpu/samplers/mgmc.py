@@ -158,9 +158,15 @@ def compute_lrc_aux(ops, transfers, smoothers):
     base0 = ops[0].base
     ndim = base0.ndim
     Bb = s0.Bb_fw if s0.sweep == "forward" else s0.Bb_bw
-    cols = jnp.moveaxis(Bb, -1, 0)  # (k, *grid)
-    ABb = jax.vmap(base0.apply)(cols)
-    RABb = jnp.moveaxis(jax.vmap(transfers[0].restrict)(ABb), 0, ndim)
+    # one column at a time: the vmapped form materialised two extra
+    # (k, *grid) stacks (2 x 2.7 GB at 512^3 k=5) and OOMed setup
+    RABb = jnp.stack(
+        [
+            transfers[0].restrict(base0.apply(Bb[..., j]))
+            for j in range(Bb.shape[-1])
+        ],
+        axis=ndim,
+    )
     axes = tuple(range(ndim))
     H = jnp.tensordot(ops[0].B, Bb, axes=(axes, axes))
     # column sums of Bb: the deferred chain recovers the Woodbury
