@@ -70,6 +70,49 @@ def _fake_sweep(x, b, coeffs, kappa2, hinv2, omega, seed, step, sweep="forward",
     return sor_sweep(op, b, x, jnp.asarray(omega, x.dtype), sweep)
 
 
+def test_fused_patch_apply_add_matches_sequential():
+    """The m-set union-window apply equals m sequential single-set
+    applies on the same windows (round-5 launch-count optimization)."""
+    from parmgmc_tpu.operators.lrc import (
+        fused_patch_apply_add,
+        patch_apply_add,
+    )
+
+    rng = np.random.default_rng(3)
+    shape = (12, 14, 16)
+    m, k, box = 3, 4, (5, 6, 4)
+    pv = jnp.asarray(rng.standard_normal((m, k, *box)), jnp.float32)
+    ps = jnp.asarray(
+        np.stack(
+            [
+                rng.integers(0, shape[a] - box[a], size=k)
+                for a in range(3)
+            ],
+            axis=1,
+        ).astype(np.int32)
+    )
+    w = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    got = fused_patch_apply_add(pv, ps, w, y)
+    want = y
+    # same window order per j: apply all m sets window-by-window
+    for j in range(k):
+        upd = sum(pv[i, j] * w[i, j] for i in range(m))
+        st = tuple(int(s) for s in ps[j])
+        win = jax.lax.dynamic_slice(want, st, box)
+        want = jax.lax.dynamic_update_slice(want, win + upd, st)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-6
+    )
+    # and one set reduces to patch_apply_add exactly
+    np.testing.assert_allclose(
+        np.asarray(fused_patch_apply_add(pv[:1], ps, w[:1], y)),
+        np.asarray(patch_apply_add(pv[0], ps, w[0], y)),
+        atol=2e-6,
+    )
+
+
 @pytest.mark.parametrize("sweep", ["forward", "symmetric"])
 def test_gibbs_fused_lrc_algebra(monkeypatch, sweep):
     """GibbsSampler._fused_step LRC branch == lax _half_step chain with
